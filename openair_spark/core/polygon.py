@@ -1,0 +1,222 @@
+"""Polygon validation / fixing operations.
+
+Mirrors reference src/geojson-polygon.ts:
+
+  - remove_duplicate_points  (greedy first-kept scan, :214-259)
+  - remove_intermediate_points (spike removal, :265-327)
+  - rewind / right-hand rule   (:204-208)
+  - validate (structural + kinks, :48-57)
+  - create_fixed_polygon (dedup -> despike -> unkink -> RHR -> largest,
+    envelope fallback, :143-199)
+
+The unkink step re-implements the ring-walking decomposition of the
+`simplepolygon` algorithm vendored by turf's unkinkPolygon: augmented
+ring (intersections inserted on both edges), stack walk popping closed
+sub-rings at repeated intersection points; popped rings start at the
+intersection vertex (matches reference tests/fixtures/fixed-self-intersecting.json,
+whose largest ring starts/ends at the full-precision intersection point).
+"""
+
+from __future__ import annotations
+
+from .errors import ParserError
+from .geo import (
+    boolean_clockwise,
+    distance_km,
+    bearing,
+    envelope_ring,
+    ring_area_m2,
+    ring_self_intersections,
+    rewind_ring,
+    segment_intersection,
+    segment_intersection_det,
+)
+
+ERR_RING_TOO_FEW = "Each LinearRing of a Polygon must have 4 or more Positions."
+ERR_RING_OPEN = "First and last Position are not equivalent."
+ERR_TOO_SMALL = "The polygon dimensions are too small to create a polygon."
+
+
+def create_polygon_ring(coords: list) -> list:
+    """turf.polygon helper invariants: >=4 positions, closed ring
+    (value compare) — raises the turf error strings the reference
+    surfaces in its messages."""
+    if len(coords) < 4:
+        raise ValueError(ERR_RING_TOO_FEW)
+    first, last = coords[0], coords[-1]
+    if first[0] != last[0] or first[1] != last[1]:
+        raise ValueError(ERR_RING_OPEN)
+    return coords
+
+
+def remove_duplicate_points(ring: list, consume_duplicate_buffer: float = 0.0) -> list:
+    """Greedy first-kept dedup with haversine buffer (km = buffer/1000);
+    re-closes the ring afterwards (src/geojson-polygon.ts:214-259)."""
+    if len(ring) < 4:
+        raise ValueError("Polygon must at least have four coordinates")
+    min_allowed_km = consume_duplicate_buffer / 1000.0
+    processed: list = []
+    for coord in ring:
+        duplicate = False
+        for kept in processed:
+            if distance_km(kept, coord) <= min_allowed_km:
+                duplicate = True
+                break
+        if not duplicate:
+            processed.append(coord)
+    # the value-equal closing point is always consumed above, so re-close
+    processed.append(processed[0])
+    if len(processed) < 4:
+        raise ValueError(ERR_TOO_SMALL)
+    return processed
+
+
+def remove_intermediate_points(ring: list, greedy_variance: float = 0.0) -> list:
+    """Spike removal: drop point i when some consecutive pair (A=ring[j],
+    B=ring[j+1]) with j+1 < i sees bearings from i differing by
+    180 +/- greedy_variance (src/geojson-polygon.ts:265-327).
+
+    The ring-closing last element is treated as "same object as first"
+    (it always is by the time this runs in the reference pipeline), so
+    the ring is only re-closed when the last survivor differs in value.
+    """
+    def is_intermediate(idx: int) -> bool:
+        coord = ring[idx]
+        for j in range(len(ring) - 1):
+            a = ring[j]
+            b = ring[j + 1]
+            bearing_a = float(bearing(coord, a))
+            bearing_b = float(bearing(coord, b))
+            delta = abs(bearing_a - bearing_b)
+            if (180.0 - greedy_variance) <= delta <= (180.0 + greedy_variance) and idx > j and idx > j + 1:
+                return True
+        return False
+
+    fixed: list = [ring[0]]
+    for i in range(1, len(ring)):
+        if not is_intermediate(i):
+            fixed.append(ring[i])
+    first, last = fixed[0], fixed[-1]
+    if first[0] != last[0] or first[1] != last[1]:
+        fixed.append(fixed[0])
+    return fixed
+
+
+def validate_polygon(ring: list) -> None:
+    """Structural check (check-geojson analogue) + kinks scan
+    (src/geojson-polygon.ts:48-57). Raises ValueError with the message
+    the reference surfaces."""
+    create_polygon_ring(ring)
+    for position in ring:
+        if not all(isinstance(v, (int, float)) and v == v for v in position[:2]):
+            raise ValueError("Position contains an invalid number")
+    if ring_self_intersections(ring):
+        raise ValueError("Geometry is invalid due to self intersection")
+
+
+def get_self_intersections(ring: list) -> list:
+    return ring_self_intersections(ring)
+
+
+def _augment_ring(ring: list) -> list:
+    """Insert each self-intersection point on both of its edges, ordered
+    along the edge by the interpolation fraction."""
+    nseg = len(ring) - 1
+    per_edge: list[list] = [[] for _ in range(nseg)]
+    for i in range(nseg):
+        for k in range(i, nseg):
+            if i == k or abs(i - k) == 1 or (i == 0 and k == nseg - 1):
+                continue
+            pt = segment_intersection_det(ring[i], ring[i + 1], ring[k], ring[k + 1])
+            if pt is None:
+                continue
+            for edge in (i, k):
+                x1, y1 = ring[edge]
+                x2, y2 = ring[edge + 1]
+                dx, dy = x2 - x1, y2 - y1
+                frac = ((pt[0] - x1) * dx + (pt[1] - y1) * dy) / (dx * dx + dy * dy)
+                per_edge[edge].append((frac, [pt[0], pt[1]]))
+    augmented: list = []
+    for i in range(nseg):
+        augmented.append(ring[i])
+        for _, pt in sorted(per_edge[i], key=lambda t: t[0]):
+            augmented.append(pt)
+    augmented.append(ring[-1])
+    return augmented
+
+
+def unkink_ring(ring: list) -> list[list]:
+    """Split a (possibly self-intersecting) closed ring into simple
+    closed sub-rings. Popped sub-rings start at their intersection
+    vertex; the residual ring keeps the original start vertex."""
+    if not ring_self_intersections(ring):
+        return [list(ring)]
+    augmented = _augment_ring(ring)
+    rings: list[list] = []
+    stack: list = []
+    seen: dict[tuple, int] = {}
+    for pt in augmented:
+        key = (pt[0], pt[1])
+        if key in seen and not _is_ring_close(stack, pt):
+            start_idx = seen[key]
+            sub = stack[start_idx:] + [list(pt)]
+            if len(sub) >= 4:
+                rings.append(sub)
+            # drop popped loop, keep one occurrence of the intersection
+            for dropped in stack[start_idx + 1:]:
+                seen.pop((dropped[0], dropped[1]), None)
+            stack = stack[: start_idx + 1]
+        else:
+            seen[key] = len(stack)
+            stack.append(list(pt))
+    if len(stack) >= 3:
+        residual = stack + ([stack[0]] if stack[0] != stack[-1] else [])
+        if len(residual) >= 4:
+            rings.append(residual)
+    return rings
+
+
+def _is_ring_close(stack: list, pt) -> bool:
+    """The final closing vertex equals the start vertex — that repeat is
+    ring closure, not an intersection revisit, when it is the ring's
+    first vertex at stack position 0 and the walk is at the end."""
+    return bool(stack) and stack[0][0] == pt[0] and stack[0][1] == pt[1]
+
+
+def get_largest_polygon(rings: list[list]) -> list:
+    """Largest-area ring wins; later ties win (>=) —
+    src/geojson-polygon.ts:110-132."""
+    if not rings:
+        raise ValueError("Polygons must contain at least one polygon geometry")
+    largest = rings[0]
+    largest_area = ring_area_m2(rings[0])
+    for ring in rings[1:]:
+        area = ring_area_m2(ring)
+        if area >= largest_area:
+            largest_area = area
+            largest = ring
+    return largest
+
+
+def create_fixed_polygon(coordinates: list, consume_duplicate_buffer: float = 0.0) -> list:
+    """dedup -> despike -> unkink -> RHR -> largest, with envelope
+    fallback (src/geojson-polygon.ts:143-199). Returns a closed ring."""
+    if len(coordinates) < 3:
+        raise ParserError("Polygon must have at least 3 coordinates")
+    coords = list(coordinates)
+    try:
+        first, last = coords[0], coords[-1]
+        if first[0] != last[0] or first[1] != last[1]:
+            coords.append(coords[0])
+        ring = create_polygon_ring(coords)
+        ring = remove_duplicate_points(ring, consume_duplicate_buffer)
+        ring = remove_intermediate_points(ring)
+        sub_rings = unkink_ring(ring)
+        sub_rings = [rewind_ring(r) for r in sub_rings]
+        return get_largest_polygon(sub_rings)
+    except Exception:
+        # envelope fallback: bbox of all input points
+        try:
+            return envelope_ring(coordinates)
+        except Exception as err:  # pragma: no cover
+            raise SyntaxError(str(err) or "Unknown error occured.") from None

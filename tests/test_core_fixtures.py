@@ -1,0 +1,244 @@
+"""Fixture-parity suite: run the core parser over the reference's own
+fixture corpus and require bit-identical results (coordinates compared
+exactly; the reference's rounding is reproduced, not approximated).
+
+Mirrors reference tests/parser.test.ts (golden GeoJSON, exact error
+messages, config-flag behaviors, round-trip OpenAIR output).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from openair_spark.core.config import VERSION_1, VERSION_2, ParserConfig
+from openair_spark.core.openair_writer import geojson_to_openair
+from openair_spark.core.parser import parse_text
+
+FIXTURES = "/root/reference/tests/fixtures"
+
+# classes used by the reference test-suite for v1 fixtures
+ALLOWED_CLASSES_V1 = [
+    "A", "B", "C", "D", "E", "F", "G",
+    "R", "Q", "P", "GP", "WAVE", "W", "GLIDING", "RMZ", "TMZ", "CTR",
+]
+
+
+def read_fixture(name: str) -> str:
+    with open(os.path.join(FIXTURES, name), encoding="utf-8") as fh:
+        return fh.read()
+
+
+def load_expected(name: str) -> dict:
+    return json.loads(read_fixture(name))
+
+
+def v1_config(**overrides) -> ParserConfig:
+    return ParserConfig.default(VERSION_1, allowed_classes=list(ALLOWED_CLASSES_V1), **overrides)
+
+
+def strip_ids(geojson: dict, drop_geometry: bool = False) -> dict:
+    for feature in geojson["features"]:
+        feature.pop("id", None)
+        feature["properties"].pop("id", None)
+        if drop_geometry:
+            feature.pop("geometry", None)
+    return geojson
+
+
+def parse_ok(name: str, config: ParserConfig):
+    result = parse_text(read_fixture(name), config)
+    assert result.success, f"{name}: {result.error_message}"
+    return result
+
+
+GOLDEN_V1 = [
+    ("inline-comments.txt", "inline-comments-result.json", {}),
+    ("polygon.txt", "polygon-result.json", {}),
+    ("polygon.txt", "polygon-to-linestring-result.json", {"output_geometry": "LINESTRING"}),
+    ("circular.txt", "circular-result.json", {}),
+    ("arc-cw.txt", "arc-cw-result.json", {}),
+    ("arc-ccw.txt", "arc-ccw-result.json", {}),
+    ("arc-angle-cw.txt", "arc-angle-cw-result.json", {}),
+    ("arc-angle-ccw.txt", "arc-angle-ccw-result.json", {}),
+    ("arc-angle-single-vx.txt", "arc-angle-single-vx-result.json", {}),
+    ("arc-cw-ccw.txt", "arc-cw-ccw-result.json", {}),
+    ("arc-first.txt", "arc-first-result.json", {}),
+    (
+        "self-intersecting.txt",
+        "convert-self-intersecting-to-linestring-result.json",
+        {"output_geometry": "LINESTRING"},
+    ),
+]
+
+
+@pytest.mark.parametrize("input_name,expected_name,overrides", GOLDEN_V1,
+                         ids=[g[1].replace("-result.json", "").replace(".json", "") for g in GOLDEN_V1])
+def test_golden_v1(input_name, expected_name, overrides):
+    expected = load_expected(expected_name)
+    result = parse_ok(input_name, v1_config(**overrides))
+    assert strip_ids(result.geojson) == expected
+
+
+def test_golden_airway():
+    expected = load_expected("awy-result.json")
+    result = parse_ok("airway.txt", v1_config())
+    assert strip_ids(result.geojson) == expected
+
+
+GOLDEN_V2 = [
+    ("version-2-commands.txt", "version-2-commands-result.json"),
+    ("activation-times.txt", "activation-times-result.json"),
+    ("activation-times-none.txt", "activation-times-none-result.json"),
+]
+
+
+@pytest.mark.parametrize("input_name,expected_name", GOLDEN_V2,
+                         ids=[g[0].replace(".txt", "") for g in GOLDEN_V2])
+def test_golden_v2_properties(input_name, expected_name):
+    # v2 golden tests compare properties only (reference tests/parser.test.ts:249-292)
+    expected = load_expected(expected_name)
+    for feature in expected["features"]:
+        feature.pop("geometry", None)
+    result = parse_ok(input_name, ParserConfig.default())
+    assert strip_ids(result.geojson, drop_geometry=True) == expected
+
+
+def test_skipped_tokens():
+    parse_ok("skipped-tokens.txt", v1_config())
+
+
+def test_ignored_only():
+    result = parse_ok("ignored-only.txt", v1_config())
+    assert result.geojson["features"] == []
+
+
+def test_fixed_self_intersecting():
+    expected = load_expected("fixed-self-intersecting.json")
+    result = parse_ok("self-intersecting.txt", v1_config(fix_geometry=True))
+    assert strip_ids(result.geojson) == expected
+
+
+def test_fix_does_not_split_into_multipolygon():
+    result = parse_ok("do-not-split-into-multipolygon.txt", v1_config(fix_geometry=True))
+    assert result.geojson["features"][0]["geometry"]["type"] == "Polygon"
+
+
+def test_fix_start_end_not_equal():
+    result = parse_ok("start-end-coordinates-not-equal.txt", v1_config(fix_geometry=True))
+    assert result.geojson["features"][0]["geometry"]["type"] == "Polygon"
+
+
+def test_self_intersecting_passes_without_validation():
+    result = parse_text(read_fixture("self-intersecting.txt"),
+                        v1_config(fix_geometry=True, validate_geometry=False))
+    assert result.success
+
+
+ERROR_CASES = [
+    ("without-ac.txt", {},
+     "Error found at line 3: The first token must be of type 'AC'. Token 'AN' found on line 3."),
+    ("invalid-coordinates.txt", {},
+     "Error found at line 14: Error found at line 14: Unknown coordinate definition 'DP 45:49:51 N 008:42:'"),
+    ("self-intersecting.txt", {},
+     "Error found at line 1: Geometry of airspace 'PARC/RESERVE  PYRENNEES 1000M/SOL' starting on line 1 is invalid due to self intersection."),
+    ("insufficient-coordinates.txt", {"fix_geometry": True},
+     "Error found at line 1: Geometry of airspace 'CTR TOO-FEW-POINTS' starting on line 1 has insufficient number of coordinates: 3"),
+    ("empty-name.txt", {},
+     "Error found at line 3: Token 'AC' on line 1 does not allow subsequent token 'AH' on line 3"),
+    ("ceiling-definitions-duplicate.txt", {},
+     "Error found at line 4: Token 'AL' on line 3 does not allow subsequent token 'AL' on line 4"),
+    ("ceiling-definitions-al-greater-ah.txt", {},
+     "Error found at line 10: Lower limit must be less than upper limit"),
+    ("start-end-coordinates-not-equal.txt", {},
+     "Error found at line 2: Geometry of airspace 'RMZ Rochefort 119.3' starting on line 2 is invalid. First and last Position are not equivalent."),
+    ("laser-beam.txt", {},
+     "Error found at line 6: The polygon dimensions are too small to create a polygon."),
+    ("coordinate-minutes-60.txt", {"fix_geometry": True},
+     "Error found at line 6: Error found at line 6: Unknown coordinate definition 'DP 42:60:57 N 000:60:00 W'"),
+    ("coordinate-seconds-60.txt", {"fix_geometry": True},
+     "Error found at line 6: Error found at line 6: Unknown coordinate definition 'DP 42:00:60 N 001:00:60 W'"),
+]
+
+
+@pytest.mark.parametrize("input_name,overrides,message", ERROR_CASES,
+                         ids=[c[0].replace(".txt", "") for c in ERROR_CASES])
+def test_error_messages_v1(input_name, overrides, message):
+    result = parse_text(read_fixture(input_name), v1_config(**overrides))
+    assert not result.success
+    assert result.error_message == message
+
+
+ERROR_CASES_V2 = [
+    ("single-airspace-ag-but-missing-af.txt",
+     "Error found at line 5: Token 'AG' is present but token 'AF' is missing."),
+    ("transponder-code-invalid.txt",
+     "Error found at line 8: Error found at line 8: Invalid transponder code string 'AX 7891'"),
+    ("missing-ah-al.txt",
+     "Error found at line 3: Airspace definition block is missing required tokens: AL, AH, AY"),
+    ("missing-AY.txt",
+     "Error found at line 1: Airspace definition block is missing required tokens: AY"),
+    ("activation-times-invalid.txt",
+     "Error found at line 9: Error found at line 9: Invalid activation times format 'AA 2025-01-02T14:00Z/2025-01-01T15:00Z'. Start date must be before end date."),
+    ("activation-times-invalid-with-none.txt",
+     "Error found at line 9: Additional activation times are not allowed with BY NOTAM activation."),
+    ("activation-times-invalid-with-none-none.txt",
+     "Error found at line 8: Error found at line 8: Invalid activation times format found at 'AA NONE/NONE'. At least one of the start or end must be specified or only NONE."),
+    ("flight-level-missing-number.txt",
+     "Error found at line 6: Error found at line 6: Unknown altitude definition 'FL'"),
+]
+
+
+@pytest.mark.parametrize("input_name,message", ERROR_CASES_V2,
+                         ids=[c[0].replace(".txt", "") for c in ERROR_CASES_V2])
+def test_error_messages_v2(input_name, message):
+    result = parse_text(read_fixture(input_name), ParserConfig.default())
+    assert not result.success
+    assert result.error_message == message
+
+
+def test_round_altitude_values_off():
+    result = parse_ok("round-altitude-values.txt", v1_config())
+    assert result.geojson["features"][0]["properties"]["lowerCeiling"]["value"] == 1607.611551
+
+
+def test_round_altitude_values_on():
+    result = parse_ok("round-altitude-values.txt", v1_config(round_alt_values=True))
+    assert result.geojson["features"][0]["properties"]["lowerCeiling"]["value"] == 1608
+
+
+def test_meter_altitude_default_conversion():
+    result = parse_ok("meter-altitude-unit.txt", v1_config())
+    props = result.geojson["features"][0]["properties"]
+    assert props["upperCeiling"]["unit"] == "FL"
+    assert props["lowerCeiling"]["unit"] == "FT"
+
+
+def test_limit_check_with_meter_target():
+    result = parse_ok("check-limits-unit-conversion.txt", v1_config(target_alt_unit="M"))
+    assert result.geojson["features"][0]["properties"]["upperCeiling"]["value"] == 10667.99965862401
+
+
+def test_warn_if_expired():
+    result = parse_text(read_fixture("version-2-warn-if-expired.txt"),
+                        ParserConfig.default(warn_if_expired=True),
+                        now=datetime(2026, 8, 16, tzinfo=timezone.utc))
+    assert result.success
+    assert len(result.warnings) == 3
+    assert all(w.startswith("WARN: Expired activation end date") for w in result.warnings)
+
+
+def test_openair_roundtrip():
+    result = parse_ok("in-output-openair.txt", v1_config())
+    # expected file hardcodes the 2026 header year (reference emits current year)
+    out = geojson_to_openair(result.geojson, VERSION_1, year=2026)
+    expected = read_fixture("expected-output-openair.txt").split("\n")
+    def rstrip_blanks(lines):
+        lines = list(lines)
+        while lines and lines[-1].strip() == "":
+            lines.pop()
+        return lines
+    assert "\n".join(rstrip_blanks(out)) == "\n".join(rstrip_blanks(expected))
