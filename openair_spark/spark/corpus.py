@@ -32,7 +32,9 @@ _NOISE_WORDS = (
     "danger prohibited control zone terminal area information service"
 ).split()
 
-_CLASSES = ["A", "B", "C", "D", "E", "F", "G", "R", "Q", "P", "CTR", "RMZ", "TMZ", "GP", "W"]
+_CLASSES_V1 = ["A", "B", "C", "D", "E", "F", "G", "R", "Q", "P", "CTR", "RMZ", "TMZ", "GP", "W"]
+_CLASSES_V2 = ["A", "B", "C", "D", "E", "F", "G", "UNC"]
+_TYPES_V2 = ["TMA", "CTR", "CTA", "ATZ", "RMZ", "TMZ", "TRA", "TSA", "FIR", "P", "Q", "R"]
 
 
 def _rng(seed: str) -> random.Random:
@@ -60,13 +62,19 @@ def _dms(rng: random.Random, lat: float, lon: float) -> str:
     return f"{lat_deg:02d}:{lat_min:02d}:{lat_sec:02d} N {lon_deg:03d}:{lon_min:02d}:{lon_sec:02d} E"
 
 
-def generate_block(seed: str) -> str:
-    """One grammar-valid v1 OpenAIR polygon/circle block (seeded)."""
+def generate_block(seed: str, version: str = "2.0") -> str:
+    """One grammar-valid OpenAIR polygon/circle block (seeded).
+
+    version 2.0 blocks carry AY (required by the v2 inventory) and only
+    v2-allowed classes, so they parse under the default config."""
     rng = _rng(seed)
     lat_base = rng.uniform(35.0, 60.0)
     lon_base = rng.uniform(2.0, 25.0)
-    lines = [
-        f"AC {rng.choice(_CLASSES)}",
+    classes = _CLASSES_V2 if version == "2.0" else _CLASSES_V1
+    lines = [f"AC {rng.choice(classes)}"]
+    if version == "2.0":
+        lines.append(f"AY {rng.choice(_TYPES_V2)}")
+    lines += [
         f"AN SYN-{seed[-12:].upper()} SECTOR {rng.randint(1, 99)}",
         # upper always above lower for the same datum (MSL floors cap at
         # 4000 ft, MSL ceilings start at 5000 ft)
@@ -118,7 +126,8 @@ def _fixture_texts() -> list[tuple[str, str]]:
 
 def make_page_rows(n_pages: int, seed: str = "openair-corpus",
                    fixture_fraction: float = 0.25,
-                   empty_fraction: float = 0.2) -> list[dict]:
+                   empty_fraction: float = 0.2,
+                   version: str = "2.0") -> list[dict]:
     """Deterministic page rows. ~empty_fraction pages carry no OpenAIR
     payload; ~fixture_fraction of payload pages embed a reference fixture
     text verbatim; the rest embed 1-3 generated blocks."""
@@ -135,7 +144,7 @@ def make_page_rows(n_pages: int, seed: str = "openair-corpus",
             if rng.random() < fixture_fraction:
                 openair_text = fixtures[rng.randrange(len(fixtures))][1]
             else:
-                blocks = [generate_block(f"{seed}|{i}|{b}")
+                blocks = [generate_block(f"{seed}|{i}|{b}", version)
                           for b in range(rng.randint(1, 3))]
                 openair_text = "\n\n".join(blocks)
             parts.append(BEGIN_SENTINEL)

@@ -89,7 +89,7 @@ def test_fixture_pages_parse_clean(spark):
 def test_generated_blocks_parse_under_v1(spark):
     from openair_spark.core.config import VERSION_1, V1_ALLOWED_CLASSES
 
-    pages = pages_df(spark, 40, "v1-seed", fixture_fraction=0.0)
+    pages = pages_df(spark, 40, "v1-seed", fixture_fraction=0.0, version="1.0")
     cfg = json.dumps({
         "version": "1.0",
         "allowed_classes": V1_ALLOWED_CLASSES + ["CTR", "RMZ", "TMZ", "GP", "W", "Q", "P", "R"],
