@@ -1,0 +1,146 @@
+"""Property tests for the cell indexes and covers (hypothesis-driven)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openair_spark.index import cover, hexgrid, quadkey, s2
+from openair_spark.index.pip import points_in_ring
+
+lats = st.floats(min_value=-85, max_value=85, allow_nan=False)
+lons = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(min_value=1, max_value=20))
+def test_s2_parent_containment(lat, lon, level):
+    """cell at level L, re-derived parent at L-1 == direct cell at L-1."""
+    child = s2.cell_id(lat, lon, level)
+    direct_parent = s2.cell_id(lat, lon, level - 1)
+    assert int(s2.parent(child, level - 1)) == int(direct_parent)
+    assert int(s2.cell_level(child)) == level
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons)
+def test_s2_determinism_and_face_partition(lat, lon):
+    a = int(s2.cell_id(lat, lon, 12))
+    b = int(s2.cell_id(lat, lon, 12))
+    assert a == b
+    face = (np.array(a).astype(np.uint64) >> np.uint64(61)) & np.uint64(7)
+    assert 0 <= int(face) <= 5
+
+
+def test_s2_known_separation():
+    """Nearby points share coarse cells, far points don't."""
+    berlin = s2.cell_id(52.52, 13.405, 10)
+    berlin2 = s2.cell_id(52.521, 13.406, 10)
+    sydney = s2.cell_id(-33.86, 151.21, 10)
+    assert int(s2.parent(berlin, 7)) == int(s2.parent(berlin2, 7))
+    assert int(berlin) != int(sydney)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(min_value=5, max_value=9))
+def test_quadkey_roundtrip(lat, lon, res):
+    cell = int(quadkey.cell_id(lat, lon, res))
+    west, south, east, north = quadkey.cell_bounds(cell)
+    assert west <= lon <= east or np.isclose(lon, west) or np.isclose(lon, east)
+    assert south <= lat <= north or np.isclose(lat, south) or np.isclose(lat, north)
+    assert int(quadkey.parent(np.int64(cell), res - 1)) == int(quadkey.cell_id(lat, lon, res - 1))
+    kids = quadkey.children(int(quadkey.cell_id(lat, lon, res - 1)))
+    assert cell in kids
+
+
+def test_quadkey_sql_expr_matches(spark=None):
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-85, 85, 500)
+    lon = rng.uniform(-180, 180, 500)
+    expected = quadkey.cell_id(lat, lon, 7)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts AS SELECT * FROM (SELECT unnest(?) AS lat, unnest(?) AS lon)",
+                [lat.tolist(), lon.tolist()])
+    got = con.execute(
+        f"SELECT {quadkey.sql_cell_expr('lat', 'lon', 7)} FROM pts"
+    ).fetchnumpy()
+    assert np.array_equal(np.sort(expected), np.sort(list(got.values())[0].astype(np.int64)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(min_value=3, max_value=9))
+def test_hexgrid_determinism_and_center(lat, lon, res):
+    cell = int(hexgrid.cell_id(lat, lon, res))
+    assert cell == int(hexgrid.cell_id(lat, lon, res))
+    clat, clon = hexgrid.cell_center(cell)
+    # the point is within the circumradius of its cell center
+    radius, _ = hexgrid._res_params(res)
+    assert abs(float(clat) - lat) <= radius * 1.201
+    assert abs(float(clon) - lon) <= radius * 1.201
+
+
+@settings(max_examples=100, deadline=None)
+@given(lats, lons)
+def test_hexgrid_parent_is_near(lat, lon):
+    child = int(hexgrid.cell_id(lat, lon, 9))
+    par = int(hexgrid.parent(np.int64(child), 8))
+    plat, plon = hexgrid.cell_center(par)
+    r8, _ = hexgrid._res_params(8)
+    clat, clon = hexgrid.cell_center(child)
+    assert abs(float(plat) - float(clat)) <= r8 * 1.2
+    # k_ring contains self and 6 neighbors at k=1
+    assert len(hexgrid.k_ring(child, 1)) == 7
+    assert child in hexgrid.k_ring(child, 1)
+
+
+def _square_ring(lon0, lat0, d):
+    return [[lon0 - d, lat0 - d], [lon0 + d, lat0 - d], [lon0 + d, lat0 + d],
+            [lon0 - d, lat0 + d], [lon0 - d, lat0 - d]]
+
+
+def test_pip_square():
+    ring = np.array(_square_ring(10.0, 50.0, 1.0))
+    px = np.array([10.0, 10.9, 11.1, 8.0])
+    py = np.array([50.0, 50.9, 50.0, 50.0])
+    assert points_in_ring(px, py, ring).tolist() == [True, True, False, False]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(min_value=-60, max_value=60), st.floats(min_value=-150, max_value=150),
+       st.floats(min_value=0.05, max_value=2.0))
+def test_cover_superset_property(lat0, lon0, d):
+    """Every point inside the polygon lands in a cover cell (cover is a
+    superset of the polygon)."""
+    ring = np.array(_square_ring(lon0, lat0, d))
+    cells = cover.compact_cover(ring, min_res=5, max_res=9)
+    assert cells
+    cell_set = {c for c, _ in cells}
+    rng = np.random.default_rng(3)
+    px = rng.uniform(lon0 - d, lon0 + d, 50)
+    py = rng.uniform(lat0 - d, lat0 + d, 50)
+    inside = points_in_ring(px, py, ring)
+    for x, y, ok in zip(px, py, inside):
+        if not ok:
+            continue
+        covered = False
+        for res in range(5, 10):
+            if int(quadkey.cell_id(y, x, res)) in cell_set:
+                covered = True
+                break
+        assert covered, (x, y)
+
+
+def test_cover_compactness():
+    """A big polygon keeps interior cells coarse (some FULL cells at
+    res < max)."""
+    ring = np.array(_square_ring(10.0, 50.0, 4.0))
+    cells = cover.compact_cover(ring, min_res=5, max_res=9)
+    res_of = lambda c: int(quadkey.decode(c)[0])
+    full = [c for c, f in cells if f]
+    assert any(res_of(c) < 9 for c in full)
+    # and the cover is not absurdly large
+    assert len(cells) < 3000
