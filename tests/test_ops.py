@@ -1,0 +1,133 @@
+"""Tests for spatial ops: PIP joins (broadcast + salted shuffle), kNN
+(cell-local == brute force), raster assignment, checkpoint resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openair_spark.index import quadkey
+from openair_spark.index.pip import points_in_ring
+from openair_spark.ops.checkpoint import run_partitioned, read_manifest
+from openair_spark.ops.knn import knn_bruteforce, knn_join
+from openair_spark.ops.pip import build_cell_index, pip_join, pip_join_shuffle
+from openair_spark.ops.raster import assign_tiles, tiles_from_points, zonal_stats
+
+
+def _ring(lon0, lat0, d):
+    return [[lon0 - d, lat0 - d], [lon0 + d, lat0 - d], [lon0 + d, lat0 + d],
+            [lon0 - d, lat0 + d], [lon0 - d, lat0 - d]]
+
+
+POLYGONS = [
+    {"polygon_id": "box-a", "ring": _ring(10.0, 50.0, 1.0)},
+    {"polygon_id": "box-b", "ring": _ring(12.5, 50.0, 0.8)},
+    {"polygon_id": "big-c", "ring": _ring(11.0, 49.0, 3.5)},
+]
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(5.0, 18.0, 2000)
+    lat = rng.uniform(44.0, 56.0, 2000)
+    rows = [(f"p{i}", float(lat[i]), float(lon[i])) for i in range(len(lat))]
+    return spark.createDataFrame(rows, "point_id string, lat double, lon double").cache()
+
+
+def _expected_pairs(points_rows):
+    out = set()
+    for poly in POLYGONS:
+        ring = np.asarray(poly["ring"])
+        px = np.array([r["lon"] for r in points_rows])
+        py = np.array([r["lat"] for r in points_rows])
+        mask = points_in_ring(px, py, ring)
+        for r, ok in zip(points_rows, mask):
+            if ok:
+                out.add((r["point_id"], poly["polygon_id"]))
+    return out
+
+
+def test_pip_join_broadcast_exact(points, spark):
+    rows = points.collect()
+    expected = _expected_pairs(rows)
+    got = {
+        (r["point_id"], r["polygon_id"])
+        for r in pip_join(points, POLYGONS).select("point_id", "polygon_id").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_pip_join_shuffle_matches_broadcast(points, spark):
+    rows = points.collect()
+    expected = _expected_pairs(rows)
+    # flat res-7 cover for the shuffle variant
+    cells = []
+    for poly in POLYGONS:
+        pdf = build_cell_index([poly], min_res=7, max_res=7)
+        for _, row in pdf.iterrows():
+            cells.append((int(row["cell"]), poly["polygon_id"],
+                          row["ring_json"] or json.dumps(poly["ring"])))
+    cells_df = spark.createDataFrame(cells, "cell long, polygon_id string, ring_json string")
+    got = {
+        (r["point_id"], r["polygon_id"])
+        for r in pip_join_shuffle(points, cells_df, salt=4, res=7)
+        .select("point_id", "polygon_id").collect()
+    }
+    assert got == expected
+
+
+def test_knn_cell_local_matches_bruteforce(points, spark):
+    rng = np.random.default_rng(5)
+    cents = [(f"c{i}", float(rng.uniform(45, 55)), float(rng.uniform(6, 17)))
+             for i in range(40)]
+    centroids = spark.createDataFrame(cents, "centroid_id string, lat double, lon double")
+    # res such that 1-ring neighborhood >> k-th neighbor distance:
+    # 40 centroids over ~12 deg -> res 4 cells are 22x11 deg
+    approx = knn_join(points, centroids, k=3, res=4, rings=1)
+    exact = knn_bruteforce(points, centroids, k=3)
+    a = {(r["point_id"], r["rank"], r["centroid_id"]) for r in approx.collect()}
+    b = {(r["point_id"], r["rank"], r["centroid_id"]) for r in exact.collect()}
+    assert a == b
+
+
+def test_raster_assignment_and_zonal(points, spark):
+    pts = points.withColumn("value", F.col("lat") + F.col("lon"))
+    tiles = tiles_from_points(pts, res=8, value_col="value").cache()
+    assigned = assign_tiles(tiles, POLYGONS, res=8)
+    got = assigned.select("tile", "polygon_id").collect()
+    # verify against center-point rule
+    for r in got:
+        west, south, east, north = quadkey.cell_bounds(int(r["tile"]))
+        cx, cy = (west + east) / 2, (south + north) / 2
+        poly = next(p for p in POLYGONS if p["polygon_id"] == r["polygon_id"])
+        assert points_in_ring(np.array([cx]), np.array([cy]), np.asarray(poly["ring"]))[0]
+    stats = zonal_stats(assigned).collect()
+    assert {r["polygon_id"] for r in stats} <= {p["polygon_id"] for p in POLYGONS}
+    assert all(r["n_tiles"] > 0 for r in stats)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    out_root = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    calls = []
+
+    def build(pid):
+        calls.append(pid)
+        df = spark.range(100).withColumn("partition", F.lit(pid))
+        return df, 100
+
+    r1 = run_partitioned(spark, ["a", "b"], build, out_root, manifest)
+    assert r1["processed"] == ["a", "b"]
+    r2 = run_partitioned(spark, ["a", "b", "c"], build, out_root, manifest)
+    assert r2["skipped"] == ["a", "b"] and r2["processed"] == ["c"]
+    assert calls == ["a", "b", "c"]  # a, b not re-built on resume
+    m = read_manifest(spark, manifest)
+    rows = {r["partition_id"]: r for r in m.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert all(r["status"] == "done" and r["output_rows"] == 100 for r in rows.values())
