@@ -53,8 +53,15 @@ def _classify_cell(cell: int, ring: np.ndarray) -> str:
     corners_y = np.array([south, south, north, north])
     inside = points_in_ring(corners_x, corners_y, ring)
     if not boundary_in_cell:
-        # boundary avoids the cell entirely: all-in or all-out
-        return "FULL" if bool(inside.all()) else "OUTSIDE"
+        if bool(inside.all()):
+            return "FULL"
+        if bool(inside.any()):
+            # Mixed corner verdicts with no detected boundary can only
+            # happen when the ring grazes the cell edge exactly (the
+            # crossing test is strict and the corner PIP is half-open):
+            # treat as PARTIAL so the cover stays a superset.
+            return "PARTIAL"
+        return "OUTSIDE"
     return "PARTIAL"
 
 
