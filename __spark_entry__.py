@@ -1,38 +1,127 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)`   — flagship: synthetic Common-Crawl-style pages ->
+                   byte-identical OpenAIR extraction -> Arrow-vectorized
+                   parse (tokenize grammar + geometry kernels, reference
+                   openAIP/openaip-openair-parser src/tokenizer.ts +
+                   src/airspace-factory.ts) -> polygon tile covers ->
+                   per-cell polygon histogram.
+`queries()`      — one entry per implemented operator (SURVEY.md §2 /
+                   §2.9), incl. the training-data ops over documents/
+                   embeddings.
+`oracle_sql()`   — DuckDB-equivalent SQL for every SQL-expressible
+                   entry; parse-pipeline entries are rows-only (the
+                   reference fixture corpus is their oracle, checked in
+                   tests/test_core_fixtures.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openair_spark.queries import build_catalog  # noqa: E402
+
+_N_PAGES = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 800}
+
+
+def _pages_for(spark: SparkSession, sf_dir: str):
+    from openair_spark.spark.corpus import pages_df
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    n = _N_PAGES.get(name, 150)
+    return pages_df(spark, n, seed=f"entry-{name}")
+
+
+def _parse_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openair_spark.spark.pipeline import parse_features
+
+    feats = parse_features(_pages_for(spark, sf_dir))
+    return feats.select(
+        "url", "airspace_idx", "name", "class", "geometry_type",
+        F.size("ring").alias("ring_len"), "success", "error",
+    )
+
+
+def _parse_tile_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openair_spark.ops.tiling import polygon_tiles
+    from openair_spark.spark.pipeline import parse_features
+
+    feats = parse_features(_pages_for(spark, sf_dir))
+    return polygon_tiles(feats)
+
+
+def _parse_pip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: parse airspaces from pages, then PIP-join a synthetic
+    point grid against the parsed polygons (rows-only: polygons come
+    from the parse, not from a SQL-visible table)."""
+    from openair_spark.ops.pip import pip_join
+    from openair_spark.spark.pipeline import parse_features
+
+    feats = parse_features(_pages_for(spark, sf_dir)).where(
+        F.col("success") & (F.col("geometry_type") == "Polygon"))
+    polys = [
+        {"polygon_id": f"{r['url']}#{r['airspace_idx']}",
+         "ring": [list(p) for p in r["ring"]]}
+        for r in feats.select("url", "airspace_idx", "ring").collect()
+    ]
+    points = spark.range(0, 20000).selectExpr(
+        "CAST(id AS STRING) AS point_id",
+        "(30.0e0 + (id * 40093) % 35000 / 1000.0e0) AS lat",
+        "(-12.0e0 + (id * 69697) % 45000 / 1000.0e0) AS lon",
+    )
+    hits = pip_join(points, polys)
+    return hits.groupBy("polygon_id").agg(F.count("*").alias("n_points"))
+
+
+def _feature_collections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openair_spark.spark.pipeline import feature_collections, parse_features
+
+    feats = parse_features(_pages_for(spark, sf_dir))
+    return feature_collections(feats)
+
+
+def _openair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON -> OpenAIR writer (reference O3, src/geojson-to-openair.ts)
+    applied per feature; returns url + emitted line count + first line."""
+    from openair_spark.spark.pipeline import parse_features
+    from openair_spark.spark.writer import openair_lines
+
+    feats = parse_features(_pages_for(spark, sf_dir))
+    return openair_lines(feats)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001-scale corpus: parse -> tile -> cell histogram."""
+    from openair_spark.ops.tiling import polygon_tiles, tile_histogram
+    from openair_spark.spark.pipeline import parse_features
+
+    pages = _pages_for(spark, "/root/testdata/sf0.001")
+    tiles = polygon_tiles(parse_features(pages))
+    return tile_histogram(tiles)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: qd.spark_fn for name, qd in build_catalog().items()
+    }
+    out["parse_features_corpus"] = _parse_features_q
+    out["parse_tile_cover"] = _parse_tile_cover_q
+    out["parse_pip_join"] = _parse_pip_q
+    out["feature_collections"] = _feature_collections_q
+    out["openair_roundtrip"] = _openair_roundtrip_q
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: qd.oracle_sql
+        for name, qd in build_catalog().items()
+        if qd.oracle_sql is not None
+    }

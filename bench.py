@@ -1,0 +1,137 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "throughput": {...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     SPARK_GRAFT_PAGES  (default scaled to sf).
+
+The flagship pipeline (pages -> extract -> parse -> tile -> PIP join)
+reads a pre-materialized parquet corpus (generated executor-parallel on
+first run, cached under /tmp) so the bench measures the engine, not the
+synthetic generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAGES_FOR_SF = {"sf0.001": 200, "sf0.01": 1500, "sf0.1": 8000}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"bench: SPARK_GRAFT_SF_DIR does not exist: {sf_dir}")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = min(float(sf_name.replace("sf", "")), 1.0) if sf_name.startswith("sf") else 0.1
+    except ValueError:
+        sf = 0.1
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", PAGES_FOR_SF.get(sf_name, 8000)))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"openair-spark-bench-{sf_name}")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from openair_spark.ops.pip import pip_join
+    from openair_spark.ops.tiling import polygon_tiles, tile_histogram
+    from openair_spark.spark.corpus import pages_df_dist
+    from openair_spark.spark.pipeline import parse_features
+
+    # ---- corpus (cached parquet, generation excluded from timings)
+    corpus_path = f"/tmp/spark_graft_bench/pages_{sf_name}_{n_pages}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        pages_df_dist(spark, n_pages, seed=f"bench-{sf_name}").write.mode(
+            "overwrite").parquet(corpus_path)
+    pages = spark.read.parquet(corpus_path)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.time()
+        counts[name] = int(fn())
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: full parse pipeline (extract -> tokenize -> geometry kernels)
+    feats = parse_features(pages)
+    bench("parse_features", lambda: feats.count())
+
+    # q2: parse -> compact tile covers (quadkey + S2 + hexgrid ids)
+    bench("tile_cover", lambda: polygon_tiles(parse_features(pages)).count())
+
+    # q3: parse -> PIP join of a synthetic point cloud vs parsed polygons
+    def pip_run() -> int:
+        f = parse_features(pages).where(
+            F.col("success") & (F.col("geometry_type") == "Polygon"))
+        polys = [
+            {"polygon_id": f"{r['url']}#{r['airspace_idx']}",
+             "ring": [list(p) for p in r["ring"]]}
+            for r in f.select("url", "airspace_idx", "ring").collect()
+        ]
+        n_points = min(int(2_000_000 * max(sf, 0.01) / 0.1), 20_000_000)
+        points = spark.range(0, n_points).selectExpr(
+            "CAST(id AS STRING) AS point_id",
+            "(30.0e0 + (id * 40093) % 35000 / 1000.0e0) AS lat",
+            "(-12.0e0 + (id * 69697) % 45000 / 1000.0e0) AS lon",
+        )
+        return pip_join(points, polys).count()
+
+    bench("pip_join", pip_run)
+
+    # q4: per-cell polygon histogram (skew diagnostic)
+    bench("tile_histogram",
+          lambda: tile_histogram(polygon_tiles(parse_features(pages))).count())
+
+    # relational + text headliners from the driver catalog
+    from openair_spark.queries import build_catalog
+
+    catalog = build_catalog()
+    for name in ["block_segmentation", "broadcast_join_agg", "knn_cell_local",
+                 "dedup_minhash_lsh", "embedding_topk_cosine", "quality_score"]:
+        qd = catalog[name]
+        bench(name, lambda qd=qd: qd.spark_fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    blocks = counts["parse_features"]
+    pip_rows = counts["pip_join"]
+    throughput = {
+        "pages_per_sec": round(n_pages / max(timings["parse_features"], 1e-9), 1),
+        "blocks_parsed_per_sec": round(blocks / max(timings["parse_features"], 1e-9), 1),
+        "pip_joined_rows_per_sec": round(pip_rows / max(timings["pip_join"], 1e-9), 1),
+    }
+    print(json.dumps({
+        "metric": "headline suite wall time (parse+tile+PIP+relational+text) on local[%s]" % cpus,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "rows": counts,
+        "throughput": throughput,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -135,15 +135,15 @@ def _remove_nearest_coordinates(coords: np.ndarray, min_allowed_distance_m: floa
     """Greedy first-kept scan against *all kept* points
     (src/airspace-factory.ts:699-723)."""
     buffer_km = min_allowed_distance_m / 1000.0
+    arr = np.asarray(coords, dtype=np.float64)
+    dmat = distance_km(arr[:, None, :], arr[None, :, :])
     kept: list = []
-    for c in coords:
-        is_dup = False
-        for p in kept:
-            if float(distance_km(p, c)) <= buffer_km:
-                is_dup = True
-                break
-        if not is_dup:
+    kept_idx: list[int] = []
+    for i, c in enumerate(arr):
+        row = dmat[:, i]
+        if not any(row[j] <= buffer_km for j in kept_idx):
             kept.append([float(c[0]), float(c[1])])
+            kept_idx.append(i)
     if len(kept) < 4:
         raise ParserError("The polygon dimensions are too small to create a polygon.", line_number)
     return kept

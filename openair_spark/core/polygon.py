@@ -54,16 +54,21 @@ def remove_duplicate_points(ring: list, consume_duplicate_buffer: float = 0.0) -
     re-closes the ring afterwards (src/geojson-polygon.ts:214-259)."""
     if len(ring) < 4:
         raise ValueError("Polygon must at least have four coordinates")
+    import numpy as np
+
     min_allowed_km = consume_duplicate_buffer / 1000.0
+    # one vectorized pairwise haversine (symmetric, bit-identical to the
+    # scalar call), then the greedy first-kept scan over the matrix
+    arr = np.asarray([c[:2] for c in ring], dtype=np.float64)
+    dmat = distance_km(arr[:, None, :], arr[None, :, :])
     processed: list = []
-    for coord in ring:
-        duplicate = False
-        for kept in processed:
-            if distance_km(kept, coord) <= min_allowed_km:
-                duplicate = True
-                break
+    kept_idx: list[int] = []
+    for i, coord in enumerate(ring):
+        row = dmat[:, i]
+        duplicate = any(row[j] <= min_allowed_km for j in kept_idx)
         if not duplicate:
             processed.append(coord)
+            kept_idx.append(i)
     # the value-equal closing point is always consumed above, so re-close
     processed.append(processed[0])
     if len(processed) < 4:
@@ -80,21 +85,23 @@ def remove_intermediate_points(ring: list, greedy_variance: float = 0.0) -> list
     (it always is by the time this runs in the reference pipeline), so
     the ring is only re-closed when the last survivor differs in value.
     """
-    def is_intermediate(idx: int) -> bool:
-        coord = ring[idx]
-        for j in range(len(ring) - 1):
-            a = ring[j]
-            b = ring[j + 1]
-            bearing_a = float(bearing(coord, a))
-            bearing_b = float(bearing(coord, b))
-            delta = abs(bearing_a - bearing_b)
-            if (180.0 - greedy_variance) <= delta <= (180.0 + greedy_variance) and idx > j and idx > j + 1:
-                return True
-        return False
+    import numpy as np
+
+    # The reference scans the ORIGINAL ring for every candidate, so the
+    # whole predicate precomputes as one broadcast bearing matrix:
+    #   B[i, j] = bearing(ring[i] -> ring[j])   (bit-identical formula)
+    #   drop i when any j with j+1 < i has |B[i,j] - B[i,j+1]| ~ 180
+    arr = np.asarray([c[:2] for c in ring], dtype=np.float64)
+    n = len(arr)
+    bmat = bearing(arr[:, None, :], arr[None, :, :])
+    delta = np.abs(bmat[:, :-1] - bmat[:, 1:])  # (n, n-1): j-th pair
+    in_band = (delta >= 180.0 - greedy_variance) & (delta <= 180.0 + greedy_variance)
+    j_idx = np.arange(n - 1)
+    intermediate = (in_band & (j_idx[None, :] + 1 < np.arange(n)[:, None])).any(axis=1)
 
     fixed: list = [ring[0]]
-    for i in range(1, len(ring)):
-        if not is_intermediate(i):
+    for i in range(1, n):
+        if not intermediate[i]:
             fixed.append(ring[i])
     first, last = fixed[0], fixed[-1]
     if first[0] != last[0] or first[1] != last[1]:

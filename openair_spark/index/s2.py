@@ -68,7 +68,11 @@ def xyz_to_face_uv(x, y, z):
 def uv_to_st(u):
     """Quadratic projection (the spec's recommended transform)."""
     u = np.asarray(u, dtype=np.float64)
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    # clamp each branch's argument: np.where evaluates both branches
+    # eagerly, and sqrt of the wrong-sign branch would warn on NaN
+    pos = 0.5 * np.sqrt(1.0 + 3.0 * np.maximum(u, 0.0))
+    neg = 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * np.minimum(u, 0.0))
+    return np.where(u >= 0, pos, neg)
 
 
 def st_to_uv(s):

@@ -34,7 +34,9 @@ def tiles_from_points(points: DataFrame, res: int,
         points
         .withColumn("tile", F.expr(quadkey.sql_cell_expr(lat_col, lon_col, res)))
         .groupBy("tile")
-        .agg(F.avg(value_col).alias("tile_value"), F.count("*").alias("n_points"))
+        .agg(F.avg(value_col).alias("tile_value"),
+             F.sum(value_col).alias("tile_sum"),
+             F.count("*").alias("n_points"))
     )
 
 

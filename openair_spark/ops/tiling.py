@@ -1,0 +1,97 @@
+"""Distributed polygon -> tile-cover explosion (north rule: "Every
+resulting polygon is tiled into H3 (res 5-9) and S2 cells via a
+compact-cover algorithm").
+
+Runs the compact cover inside an Arrow-batched mapInPandas over the
+features DataFrame — a narrow map (no shuffle): each executor task
+tiles its own polygons, which is also the mega-polygon skew treatment
+(a FIR-sized ring becomes many bounded cell rows instead of one giant
+join row).
+
+Each cover cell row carries all three index families:
+  - `cell`     quadkey compact-cover cell (drives the PIP/raster joins,
+               SQL-expressible key: index/quadkey.sql_cell_expr)
+  - `s2_cell`  S2 cell id at an equivalent level, from the cell center
+  - `hex_cell` aperture-7 hexgrid cell at an equivalent res
+
+S2/hex ids are derived per cover cell center (not independent covers):
+the quadkey cover is the geometric superset; the sibling ids give
+cross-index join keys at matching granularity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..index import hexgrid, quadkey, s2
+from ..index.cover import compact_cover
+
+TILES_SCHEMA = (
+    "url string, airspace_idx int, cell long, res int, is_full boolean, "
+    "s2_cell long, s2_token string, hex_cell long"
+)
+
+# quadkey res r has cell width 360/2^r deg; pick the S2 level / hex res
+# with the closest cell scale
+_S2_LEVEL_FOR_RES = {r: r + 1 for r in range(0, 28)}
+_HEX_RES_FOR_RES = {r: min(max(r - 2, 0), 9) for r in range(0, 28)}
+
+
+def _tile_kernel(batches: Iterator[pd.DataFrame], min_res: int, max_res: int
+                 ) -> Iterator[pd.DataFrame]:
+    cols = [c.split()[0] for c in TILES_SCHEMA.split(", ")]
+    for pdf in batches:
+        out: list[dict] = []
+        for url, idx, ring in zip(pdf["url"], pdf["airspace_idx"], pdf["ring"]):
+            if ring is None or len(ring) < 4:
+                continue
+            arr = np.asarray([list(p) for p in ring], dtype=np.float64)
+            for cell, is_full in compact_cover(arr, min_res=min_res, max_res=max_res):
+                res, x, y = quadkey.decode(cell)
+                res = int(res)
+                west, south, east, north = quadkey.cell_bounds(cell)
+                clat, clon = (south + north) / 2.0, (west + east) / 2.0
+                s2c = int(s2.cell_id(clat, clon, _S2_LEVEL_FOR_RES[res]))
+                out.append({
+                    "url": url, "airspace_idx": int(idx), "cell": int(cell),
+                    "res": res, "is_full": bool(is_full),
+                    "s2_cell": s2c,
+                    "s2_token": s2.cell_token(s2c),
+                    "hex_cell": int(hexgrid.cell_id(clat, clon, _HEX_RES_FOR_RES[res])),
+                })
+        yield pd.DataFrame(out, columns=cols)
+
+
+def polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9) -> DataFrame:
+    """features(url, airspace_idx, ring, success, ...) -> tile rows.
+
+    Narrow plan: select-prune -> mapInPandas; zero shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    src = (
+        features.where(F.col("success") & (F.col("geometry_type") == "Polygon"))
+        .select("url", "airspace_idx", "ring")
+    )
+
+    def kernel(batches):
+        return _tile_kernel(batches, min_res, max_res)
+
+    return src.mapInPandas(kernel, TILES_SCHEMA)
+
+
+def tile_histogram(tiles: DataFrame) -> DataFrame:
+    """Cells ranked by polygon load — the skew diagnostic that feeds
+    the salt-count choice in ops.pip.pip_join_shuffle."""
+    from pyspark.sql import functions as F
+
+    return (
+        tiles.groupBy("cell", "res")
+        .agg(F.count("*").alias("n_polygons"),
+             F.sum(F.when(F.col("is_full"), 0).otherwise(1)).alias("n_partial"))
+    )

@@ -1,0 +1,448 @@
+"""Training-data pipeline operators over `documents` / `embeddings`.
+
+Large-scale curation ops a 100 TB text corpus needs, each expressed
+Spark-first with a DuckDB oracle:
+
+  - exact dedup (hash groupBy)
+  - n-gram Jaccard near-dup (shingle self-join)
+  - MinHash + LSH banding (portable signature: lexicographic-min md5)
+  - SimHash fingerprint (md5-derived bit votes)
+  - brute-force cosine top-k over embeddings (the ANN baseline)
+  - LSH-bucketed ANN (random-hyperplane signs, md5-seeded)
+  - language-ID heuristic, quality scoring, token counting,
+    document fingerprinting
+
+Portability contract: every hash is md5-hex (identical strings in both
+engines); integers come from the leading 15 hex chars (< 2^60, no
+sign issues); floats are rounded after identical-op math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QueryDef, load
+
+# hex -> int, portable: Spark conv() vs DuckDB 0x-cast
+def _spark_hex60(col):
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
+
+
+def _sql_hex60(expr: str) -> str:
+    return f"CAST(concat('0x', substr({expr}, 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc"))
+        .withColumn("is_dup_group", F.col("n_dups") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_doc,
+       count(*) > 1 AS is_dup_group
+FROM documents GROUP BY 1
+"""
+
+
+# distinct word-3-gram shingles per document
+def _spark_shingles(docs: DataFrame) -> DataFrame:
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        words
+        .withColumn("w1", F.lead("word", 1).over(w))
+        .withColumn("w2", F.lead("word", 2).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = """
+SELECT DISTINCT doc_id, concat_ws(' ', word, w1, w2) AS shingle
+FROM (
+  SELECT doc_id, word, pos,
+         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+) WHERE w2 IS NOT NULL
+"""
+
+_JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    shingles = _spark_shingles(load(spark, sf_dir, "documents")).cache()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= {_JACCARD_THRESHOLD}
+"""
+
+_N_MINHASH = 8
+_BAND_SIZE = 2  # -> 4 bands
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    shingles = _spark_shingles(load(spark, sf_dir, "documents"))
+    hashed = shingles.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("h"),
+        "shingle",
+    ).select(
+        "doc_id", "h",
+        F.md5(F.concat_ws("|", F.col("h").cast("string"), "shingle")).alias("hval"),
+    )
+    sig = hashed.groupBy("doc_id", "h").agg(F.min("hval").alias("minhash"))
+    bands = (
+        sig.withColumn("band", (F.col("h") / _BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("h").cast("string"), "minhash")))).alias("band_sig"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, h, min(md5(concat_ws('|', CAST(h AS VARCHAR), shingle))) AS minhash
+  FROM shingles CROSS JOIN (SELECT unnest(range({_N_MINHASH})) AS h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, CAST(h // {_BAND_SIZE} AS INT) AS band,
+         string_agg(concat_ws(':', CAST(h AS VARCHAR), minhash), '|' ORDER BY concat_ws(':', CAST(h AS VARCHAR), minhash)) AS band_sig
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
+    words = words.withColumn("h", _spark_hex60(F.md5("word")))
+    bits = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).withColumn(  # vote = +1 when bit b of h is set, else -1
+        "vote",
+        F.expr("CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    return (
+        votes.withColumn(
+            "bitval",
+            F.expr("CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
+                   "ELSE CAST(0 AS BIGINT) END"))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+SQL_SIMHASH = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN ({_sql_hex60("md5(word)")} >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM words CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS b)
+),
+votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- embeddings
+
+_TOPK = 5
+_N_ANCHORS = 100  # anchor set keeps the sandbox cross join bounded
+
+
+def q_embedding_topk_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    emb = emb.withColumn("nrm", norm)
+    a = emb.where(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cand = (
+        a.join(F.broadcast(b), F.col("vec_a") != F.col("vec_b"))
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOPK)
+        .select("vec_a", "vec_b", "sim", "rk")
+    )
+
+
+SQL_EMBEDDING_TOPK_COSINE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id < {_N_ANCHORS} AND a.vec_id <> b.vec_id
+)
+SELECT vec_a, vec_b, sim, rk FROM (
+  SELECT vec_a, vec_b, sim,
+         row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b ASC) AS rk
+  FROM cand
+) WHERE rk <= {_TOPK}
+"""
+
+_N_PLANES = 8
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    comp = emb.select(
+        "vec_id",
+        F.posexplode("v").alias("d", "x"),
+    )
+    planes = comp.select(
+        "vec_id", "d", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_PLANES - 1))).alias("j"),
+    ).withColumn(
+        "w",
+        F.when(_spark_hex60(F.md5(F.concat_ws("_", F.col("j").cast("string"),
+                                              F.col("d").cast("string")))) % 2 == 0, 1.0)
+        .otherwise(-1.0),
+    )
+    dots = (
+        planes.groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    return (
+        dots.withColumn(
+            "bitval",
+            F.expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) "
+                   "ELSE CAST(0 AS BIGINT) END"))
+        .groupBy("vec_id")
+        .agg(F.sum("bitval").alias("bucket"))
+    )
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, j,
+         sum(x * CASE WHEN {_sql_hex60("md5(concat_ws('_', CAST(j AS VARCHAR), CAST(d AS VARCHAR)))")} % 2 = 0
+                      THEN 1.0 ELSE -1.0 END) AS dot
+  FROM comp CROSS JOIN (SELECT unnest(range({_N_PLANES})) AS j)
+  GROUP BY vec_id, j
+)
+SELECT vec_id,
+       sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+FROM dots GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------- text QA
+
+_MARKERS_A = ["table", "row", "scan"]
+_MARKERS_B = ["spark", "hash", "merge"]
+_STOPWORDS = ["a", "the", "of", "and"]
+
+
+def _count_words(col, words):
+    arr = F.split(col, " ")
+    return F.size(F.filter(arr, lambda w: w.isin(words)))
+
+
+def q_langid_heuristic(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ca = _count_words(F.col("text"), _MARKERS_A)
+    cb = _count_words(F.col("text"), _MARKERS_B)
+    pred = (
+        F.when(ca > cb, "dialect-a")
+        .when(cb > ca, "dialect-b")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_LANGID_HEURISTIC = f"""
+SELECT lang, predicted, count(*) AS n FROM (
+  SELECT lang, CASE
+    WHEN len(list_filter(string_split(text, ' '), w -> w IN ({", ".join(repr(w) for w in _MARKERS_A)})))
+       > len(list_filter(string_split(text, ' '), w -> w IN ({", ".join(repr(w) for w in _MARKERS_B)})))
+      THEN 'dialect-a'
+    WHEN len(list_filter(string_split(text, ' '), w -> w IN ({", ".join(repr(w) for w in _MARKERS_B)})))
+       > len(list_filter(string_split(text, ' '), w -> w IN ({", ".join(repr(w) for w in _MARKERS_A)})))
+      THEN 'dialect-b'
+    ELSE 'unknown' END AS predicted
+  FROM documents
+) GROUP BY 1, 2
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    stop = _count_words(F.col("text"), _STOPWORDS)
+    d = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.length("text") / n_words.cast("double"), 6).alias("avg_token_len"),
+        F.round(stop / n_words.cast("double"), 6).alias("stopword_ratio"),
+    )
+    return d.withColumn(
+        "quality_bucket",
+        F.when((F.col("n_words") >= 20) & (F.col("stopword_ratio") < 0.3), "good")
+        .when(F.col("n_words") >= 10, "fair")
+        .otherwise("poor"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id, n_words, avg_token_len, stopword_ratio,
+       CASE WHEN n_words >= 20 AND stopword_ratio < 0.3 THEN 'good'
+            WHEN n_words >= 10 THEN 'fair' ELSE 'poor' END AS quality_bucket
+FROM (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+         round(length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+         round(len(list_filter(string_split(text, ' '),
+                   w -> w IN ({", ".join(repr(w) for w in _STOPWORDS)})))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+  FROM documents
+)
+"""
+
+
+def q_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.size(F.split("text", " ")).alias("ws_tokens"),
+            F.regexp_count("text", F.lit("[a-z]+")).alias("re_tokens"),
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("ws_tokens").alias("total_ws_tokens"),
+             F.sum("re_tokens").alias("total_re_tokens"))
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_ws_tokens,
+       sum(len(regexp_extract_all(text, '[a-z]+'))) AS total_re_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("bucket8"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8) AS bucket8
+FROM documents
+"""
+
+
+CATALOG = {
+    "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "simhash_fingerprint": QueryDef(q_simhash, SQL_SIMHASH),
+    "embedding_topk_cosine": QueryDef(q_embedding_topk_cosine, SQL_EMBEDDING_TOPK_COSINE),
+    "ann_lsh_buckets": QueryDef(q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "langid_heuristic": QueryDef(q_langid_heuristic, SQL_LANGID_HEURISTIC),
+    "quality_score": QueryDef(q_quality_score, SQL_QUALITY_SCORE),
+    "token_count": QueryDef(q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": QueryDef(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+}

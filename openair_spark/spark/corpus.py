@@ -130,40 +130,15 @@ def make_page_rows(n_pages: int, seed: str = "openair-corpus",
                    version: str = "2.0") -> list[dict]:
     """Deterministic page rows. ~empty_fraction pages carry no OpenAIR
     payload; ~fixture_fraction of payload pages embed a reference fixture
-    text verbatim; the rest embed 1-3 generated blocks."""
+    text verbatim; the rest embed 1-3 generated blocks.
+
+    `_embedded_openair` is ground truth for the extraction-invariant
+    test only; the engine never reads it."""
     fixtures = _fixture_texts()
-    t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
-    rows = []
-    for i in range(n_pages):
-        rng = _rng(f"{seed}|{i}")
-        url = f"https://example.test/aip/{hashlib.sha256(f'{seed}|{i}'.encode()).hexdigest()[:12]}/{i}"
-        lang = _LANGS[i % len(_LANGS)]
-        parts = [_noise_paragraph(rng)]
-        openair_text = None
-        if rng.random() >= empty_fraction:
-            if rng.random() < fixture_fraction:
-                openair_text = fixtures[rng.randrange(len(fixtures))][1]
-            else:
-                blocks = [generate_block(f"{seed}|{i}|{b}", version)
-                          for b in range(rng.randint(1, 3))]
-                openair_text = "\n\n".join(blocks)
-            parts.append(BEGIN_SENTINEL)
-            parts.append(openair_text)
-            parts.append(END_SENTINEL)
-        parts.append(_noise_paragraph(rng))
-        text = "\n".join(parts)
-        html = f"<html><body><pre>{text}</pre></body></html>".encode("utf-8")
-        rows.append({
-            "url": url,
-            "warc_ts": t0 + timedelta(seconds=i * 97),
-            "html": html,
-            "text": text,
-            "lang": lang,
-            # ground truth for the extraction-invariant test only; the
-            # engine never reads this column
-            "_embedded_openair": openair_text,
-        })
-    return rows
+    return [
+        make_page_row(i, seed, fixtures, fixture_fraction, empty_fraction, version)
+        for i in range(n_pages)
+    ]
 
 
 PAGES_SCHEMA = (
@@ -175,6 +150,63 @@ PAGES_SCHEMA = (
 def pages_df(spark, n_pages: int, seed: str = "openair-corpus", **kwargs):
     rows = make_page_rows(n_pages, seed, **kwargs)
     return spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+
+
+def make_page_row(i: int, seed: str, fixtures: list[tuple[str, str]],
+                  fixture_fraction: float = 0.25, empty_fraction: float = 0.2,
+                  version: str = "2.0") -> dict:
+    """Row i of the corpus — independent of every other row, so
+    generation distributes trivially (see pages_df_dist)."""
+    rng = _rng(f"{seed}|{i}")
+    t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    url = f"https://example.test/aip/{hashlib.sha256(f'{seed}|{i}'.encode()).hexdigest()[:12]}/{i}"
+    lang = _LANGS[i % len(_LANGS)]
+    parts = [_noise_paragraph(rng)]
+    openair_text = None
+    if rng.random() >= empty_fraction:
+        if rng.random() < fixture_fraction:
+            openair_text = fixtures[rng.randrange(len(fixtures))][1]
+        else:
+            blocks = [generate_block(f"{seed}|{i}|{b}", version)
+                      for b in range(rng.randint(1, 3))]
+            openair_text = "\n\n".join(blocks)
+        parts.append(BEGIN_SENTINEL)
+        parts.append(openair_text)
+        parts.append(END_SENTINEL)
+    parts.append(_noise_paragraph(rng))
+    text = "\n".join(parts)
+    html = f"<html><body><pre>{text}</pre></body></html>".encode("utf-8")
+    return {
+        "url": url,
+        "warc_ts": t0 + timedelta(seconds=i * 97),
+        "html": html,
+        "text": text,
+        "lang": lang,
+        "_embedded_openair": openair_text,
+    }
+
+
+def pages_df_dist(spark, n_pages: int, seed: str = "openair-corpus",
+                  partitions: int | None = None, **kwargs):
+    """Executor-parallel corpus generation: spark.range drives row ids,
+    each mapInPandas task generates its own slice (rows are seeded per
+    id, so the result is identical to pages_df for the same seed)."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def kernel(batches):
+        fixtures = _fixture_texts()
+        cols = [c.split()[0] for c in PAGES_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = [make_page_row(int(i), seed, fixtures, **kwargs) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        spark.range(0, n_pages, numPartitions=partitions)
+        .mapInPandas(kernel, PAGES_SCHEMA)
+    )
 
 
 def write_pages_parquet(spark, path: str, n_pages: int, seed: str = "openair-corpus",
