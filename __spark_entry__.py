@@ -66,11 +66,8 @@ def _parse_pip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = parse_features(_pages_for(spark, sf_dir)).where(
         F.col("success") & (F.col("geometry_type") == "Polygon"))
-    polys = [
-        {"polygon_id": f"{r['url']}#{r['airspace_idx']}",
-         "ring": [list(p) for p in r["ring"]]}
-        for r in feats.select("url", "airspace_idx", "ring").collect()
-    ]
+    polys = feats.select(
+        F.concat_ws("#", "url", "airspace_idx").alias("polygon_id"), "ring")
     points = spark.range(0, 20000).selectExpr(
         "CAST(id AS STRING) AS point_id",
         "(30.0e0 + (id * 40093) % 35000 / 1000.0e0) AS lat",

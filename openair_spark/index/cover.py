@@ -25,44 +25,65 @@ def _ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
     return float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max())
 
 
-def _ring_touches_bbox(ring: np.ndarray, west, south, east, north) -> bool:
-    """Any ring vertex inside the bbox, or any ring edge crossing a bbox
-    edge (the 'boundary passes through the cell' test)."""
-    x, y = ring[:, 0], ring[:, 1]
-    if bool(np.any((x >= west) & (x <= east) & (y >= south) & (y <= north))):
-        return True
-    x1, y1 = x[:-1], y[:-1]
-    x2, y2 = x[1:], y[1:]
-    for (ax, ay, bx, by) in (
+OUTSIDE, PARTIAL, FULL = 0, 1, 2
+
+
+def classify_cells(cells: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized FULL/PARTIAL/OUTSIDE classification of quadkey cells
+    against a closed lon/lat ring — one numpy pass for a whole cover
+    frontier instead of per-cell Python.
+
+    boundary-in-cell := any ring vertex inside the cell bbox, or any
+    ring edge strictly crossing a bbox edge. No boundary + all corners
+    inside -> FULL; none inside -> OUTSIDE; mixed corner verdicts with
+    no detected boundary only happen when the ring grazes a cell edge
+    exactly (strict crossing test + half-open corner PIP) -> PARTIAL so
+    the cover stays a superset."""
+    cells = np.asarray(cells, dtype=np.int64)
+    m = len(cells)
+    res = cells >> quadkey._RES_SHIFT
+    y = (cells >> quadkey._Y_SHIFT) & quadkey._MASK
+    x = cells & quadkey._MASK
+    n = (1 << res).astype(np.float64)
+    west = -180.0 + x * 360.0 / n
+    east = -180.0 + (x + 1) * 360.0 / n
+    south = -90.0 + y * 180.0 / n
+    north = -90.0 + (y + 1) * 180.0 / n
+
+    vx, vy = ring[:, 0], ring[:, 1]
+    # (m,) any ring vertex inside each bbox
+    vert_in = (
+        (vx[None, :] >= west[:, None]) & (vx[None, :] <= east[:, None])
+        & (vy[None, :] >= south[:, None]) & (vy[None, :] <= north[:, None])
+    ).any(axis=1)
+
+    x1, y1 = vx[:-1], vy[:-1]
+    x2, y2 = vx[1:], vy[1:]
+    crossing = np.zeros(m, dtype=bool)
+    for ax, ay, bx, by in (
         (west, south, east, south), (east, south, east, north),
         (east, north, west, north), (west, north, west, south),
     ):
-        d1 = (bx - ax) * (y1 - ay) - (by - ay) * (x1 - ax)
-        d2 = (bx - ax) * (y2 - ay) - (by - ay) * (x2 - ax)
-        d3 = (x2 - x1) * (ay - y1) - (y2 - y1) * (ax - x1)
-        d4 = (x2 - x1) * (by - y1) - (y2 - y1) * (bx - x1)
-        if bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0))):
-            return True
-    return False
+        dxs = (bx - ax)[:, None]
+        dys = (by - ay)[:, None]
+        d1 = dxs * (y1[None, :] - ay[:, None]) - dys * (x1[None, :] - ax[:, None])
+        d2 = dxs * (y2[None, :] - ay[:, None]) - dys * (x2[None, :] - ax[:, None])
+        d3 = (x2 - x1)[None, :] * (ay[:, None] - y1[None, :]) \
+            - (y2 - y1)[None, :] * (ax[:, None] - x1[None, :])
+        d4 = (x2 - x1)[None, :] * (by[:, None] - y1[None, :]) \
+            - (y2 - y1)[None, :] * (bx[:, None] - x1[None, :])
+        crossing |= ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=1)
+    boundary = vert_in | crossing
 
+    corners_x = np.concatenate([west, east, east, west])
+    corners_y = np.concatenate([south, south, north, north])
+    inside = points_in_ring(corners_x, corners_y, ring).reshape(4, m)
+    n_in = inside.sum(axis=0)
 
-def _classify_cell(cell: int, ring: np.ndarray) -> str:
-    west, south, east, north = quadkey.cell_bounds(cell)
-    boundary_in_cell = _ring_touches_bbox(ring, west, south, east, north)
-    corners_x = np.array([west, east, east, west])
-    corners_y = np.array([south, south, north, north])
-    inside = points_in_ring(corners_x, corners_y, ring)
-    if not boundary_in_cell:
-        if bool(inside.all()):
-            return "FULL"
-        if bool(inside.any()):
-            # Mixed corner verdicts with no detected boundary can only
-            # happen when the ring grazes the cell edge exactly (the
-            # crossing test is strict and the corner PIP is half-open):
-            # treat as PARTIAL so the cover stays a superset.
-            return "PARTIAL"
-        return "OUTSIDE"
-    return "PARTIAL"
+    out = np.full(m, PARTIAL, dtype=np.int8)
+    out[(~boundary) & (n_in == 4)] = FULL
+    out[(~boundary) & (n_in == 0)] = OUTSIDE
+    return out
 
 
 def compact_cover(ring, min_res: int = 5, max_res: int = 9,
@@ -86,26 +107,24 @@ def compact_cover(ring, min_res: int = 5, max_res: int = 9,
             seeds.add((min_res << 54) + (yy << 27) + xx)
 
     out: list[tuple[int, bool]] = []
-    frontier = sorted(seeds)
-    while frontier:
+    frontier = np.array(sorted(seeds), dtype=np.int64)
+    while len(frontier):
+        kinds = classify_cells(frontier, ring)
         if len(out) + len(frontier) > max_cells:
             # degrade gracefully: emit the remaining frontier as partial
-            out.extend((c, False) for c in frontier
-                       if _classify_cell(c, ring) != "OUTSIDE")
+            out.extend((int(c), False) for c in frontier[kinds != OUTSIDE])
             break
+        res = (frontier >> quadkey._RES_SHIFT).astype(np.int64)
+        for c in frontier[kinds == FULL]:
+            out.append((int(c), True))
+        at_leaf = (kinds == PARTIAL) & (res >= max_res)
+        for c in frontier[at_leaf]:
+            out.append((int(c), False))
+        to_refine = frontier[(kinds == PARTIAL) & (res < max_res)]
         next_frontier: list[int] = []
-        for cell in frontier:
-            kind = _classify_cell(cell, ring)
-            if kind == "OUTSIDE":
-                continue
-            res = int(quadkey.decode(cell)[0])
-            if kind == "FULL":
-                out.append((cell, True))
-            elif res >= max_res:
-                out.append((cell, False))
-            else:
-                next_frontier.extend(quadkey.children(cell))
-        frontier = sorted(next_frontier)
+        for cell in to_refine:
+            next_frontier.extend(quadkey.children(int(cell)))
+        frontier = np.array(sorted(next_frontier), dtype=np.int64)
     return out
 
 

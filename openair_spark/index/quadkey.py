@@ -23,6 +23,7 @@ import numpy as np
 MAX_RES = 26
 _RES_SHIFT = 54
 _Y_SHIFT = 27
+_MASK = (1 << _Y_SHIFT) - 1
 
 
 def cell_id(lat, lon, res: int):

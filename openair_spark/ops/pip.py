@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..index import quadkey
 from ..index.cover import compact_cover
-from ..index.pip import points_in_ring
+from ..index.pip import RingSet, points_in_ring
 
 MIN_RES = 5
 MAX_RES = 9
@@ -67,53 +67,121 @@ def _point_cells_expr(lat_col: str, lon_col: str, cover_resolutions: list[int]):
     ])
 
 
-def pip_join(points: DataFrame, polygons: list[dict],
-             lat_col: str = "lat", lon_col: str = "lon",
+CELL_INDEX_SCHEMA = "cell long, polygon_id string, is_full boolean, ring_json string"
+
+
+def polygon_cell_index(polygons: DataFrame, min_res: int = MIN_RES,
+                       max_res: int = MAX_RES) -> DataFrame:
+    """Executor-parallel cover computation: polygons(polygon_id, ring)
+    -> (cell, polygon_id, is_full, ring_json). A narrow mapInPandas —
+    at 10^5+ polygons the driver never materializes the ring set; Spark
+    broadcasts the computed index directly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
+                arr = np.asarray([list(p) for p in ring], dtype=np.float64)
+                ring_json = json.dumps([[float(p[0]), float(p[1])] for p in ring])
+                for cell, is_full in compact_cover(arr, min_res=min_res, max_res=max_res):
+                    rows.append({
+                        "cell": int(cell), "polygon_id": pid,
+                        "is_full": bool(is_full),
+                        "ring_json": None if is_full else ring_json,
+                    })
+            yield pd.DataFrame(rows, columns=["cell", "polygon_id", "is_full", "ring_json"])
+
+    return polygons.select("polygon_id", "ring").mapInPandas(kernel, CELL_INDEX_SCHEMA)
+
+
+def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "lon",
              min_res: int = MIN_RES, max_res: int = MAX_RES) -> DataFrame:
     """Broadcast PIP join: returns points columns + polygon_id for every
-    (point, polygon) containment pair."""
+    (point, polygon) containment pair.
+
+    polygons: either a DataFrame(polygon_id string, ring array<array<double>>)
+    — the scale path, cover computed executor-side — or a driver-side
+    list [{'polygon_id', 'ring'}] for small sets."""
     spark = points.sparkSession
-    index_pdf = build_cell_index(polygons, min_res, max_res)
     resolutions = list(range(min_res, max_res + 1))
-    index_df = spark.createDataFrame(
-        index_pdf, "cell long, polygon_id string, is_full boolean, ring_json string")
+    if isinstance(polygons, DataFrame):
+        index_df = polygon_cell_index(polygons, min_res, max_res)
+    else:
+        index_pdf = build_cell_index(polygons, min_res, max_res)
+        index_df = spark.createDataFrame(index_pdf, CELL_INDEX_SCHEMA)
+
+    # rings travel ONCE as a broadcast variable (unpickled once per
+    # python worker, reused across tasks) — candidate rows carry only
+    # polygon_id, not the ring JSON, so the Arrow transfer stays
+    # ~constant bytes/row and tasks pay no per-task ring-parse cost
+    if isinstance(polygons, DataFrame):
+        # Arrow-path toPandas: the rings land as numpy object arrays in
+        # one driver pass (a Row-based collect re-boxes every coordinate
+        # and serializes the driver for seconds at 10^4+ polygons)
+        pdf = polygons.select("polygon_id", "ring").toPandas()
+        rings = {pid: np.asarray([np.asarray(p, dtype=np.float64) for p in ring])
+                 for pid, ring in zip(pdf["polygon_id"], pdf["ring"])}
+    else:
+        rings = {p["polygon_id"]: np.asarray(p["ring"], dtype=np.float64)
+                 for p in polygons}
+    ring_set = RingSet(rings)
+    rings_b = spark.sparkContext.broadcast(ring_set)
+
+    # the hot path carries an int polygon_idx, never the id string:
+    # Arrow string columns dominate kernel-stage CPU (JVM serialize +
+    # python object materialization) and anti-scale under local-mode
+    # core contention; the id is restored by a broadcast dim join on
+    # the (small) hit set afterwards
+    dim = spark.createDataFrame(
+        [(i, pid) for i, pid in enumerate(ring_set.ids)],
+        "polygon_idx int, polygon_id string")
+    index_small = (
+        index_df.join(F.broadcast(dim), "polygon_id")
+        .select("cell", "polygon_idx", "is_full")
+        .cache()
+    )
+
+    # probe only resolutions the cover actually uses: small polygons
+    # put every cover leaf at max_res, so blindly exploding each point
+    # to all res levels multiplies the probe row count for nothing
+    used_res = sorted(
+        int(r[0]) for r in index_small.select(
+            F.expr(f"shiftright(cell, {quadkey._RES_SHIFT})").alias("r")).distinct().collect()
+    )
+    resolutions = used_res or resolutions
 
     pts = points.withColumn(
         "_cells", _point_cells_expr(lat_col, lon_col, resolutions)
     ).withColumn("cell", F.explode("_cells")).drop("_cells")
 
-    candidates = pts.join(F.broadcast(index_df), "cell", "inner")
+    # ONE scan: FULL-cover hits pass through the same kernel untested
+    # (no union of two branches — a union here re-executes the whole
+    # upstream parse/index/join per branch, Catalyst does not reuse the
+    # exchange across mapInPandas subplans)
+    candidates = pts.join(F.broadcast(index_small), "cell", "inner").drop("cell")
 
-    full_hits = candidates.where(F.col("is_full")).drop("is_full", "ring_json", "cell")
-
-    partial = candidates.where(~F.col("is_full"))
-    out_fields = [f for f in full_hits.schema.fieldNames()]
+    out_fields = [n for n in candidates.schema.fieldNames() if n != "is_full"]
     schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in full_hits.schema.fields
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in candidates.schema.fields if f.name in out_fields
     )
 
     def exact_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ring_cache: dict[str, np.ndarray] = {}
+        rs: RingSet = rings_b.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for ring_json, group in pdf.groupby("ring_json"):
-                ring = ring_cache.get(ring_json)
-                if ring is None:
-                    ring = np.asarray(json.loads(ring_json), dtype=np.float64)
-                    ring_cache[ring_json] = ring
-                mask = points_in_ring(group[lon_col].to_numpy(),
-                                      group[lat_col].to_numpy(), ring)
-                keep[group.index.to_numpy()] = mask
+            pdf = pdf.reset_index(drop=True)
+            keep = pdf["is_full"].to_numpy(dtype=bool).copy()
+            part = np.flatnonzero(~keep)
+            if len(part):
+                ridx = pdf["polygon_idx"].to_numpy(dtype=np.int64)[part]
+                keep[part] = rs.contains(
+                    pdf[lon_col].to_numpy()[part], pdf[lat_col].to_numpy()[part], ridx)
             yield pdf.loc[keep, out_fields]
 
-    partial_hits = (
-        partial.drop("is_full", "cell")
-        .mapInPandas(lambda it: exact_kernel(
-            (p.reset_index(drop=True) for p in it)), schema + "")
-    )
-    return full_hits.unionByName(partial_hits)
+    hits = candidates.mapInPandas(exact_kernel, schema)
+    return hits.join(F.broadcast(dim), "polygon_idx").drop("polygon_idx")
 
 
 def pip_join_shuffle(points: DataFrame, polygon_cells: DataFrame,

@@ -144,3 +144,52 @@ def test_cover_compactness():
     assert any(res_of(c) < 9 for c in full)
     # and the cover is not absurdly large
     assert len(cells) < 3000
+
+
+def test_ringset_bulk_pip_matches_per_ring():
+    """RingSet.contains (CSR bulk kernel) is bit-equal to points_in_ring
+    for arbitrary star polygons and random (point, ring) pairings."""
+    from openair_spark.index.pip import RingSet
+
+    rng = np.random.default_rng(11)
+    rings = {}
+    for k in range(40):
+        n = int(rng.integers(4, 40))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        cx, cy = rng.uniform(-60, 60, 2)
+        r = rng.uniform(0.3, 5.0, n)
+        pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+        rings[f"p{k}"] = np.vstack([pts, pts[:1]])
+    rs = RingSet(rings)
+    px = rng.uniform(-70, 70, 4000)
+    py = rng.uniform(-70, 70, 4000)
+    ridx = rng.integers(0, 40, 4000)
+    bulk = rs.contains(px, py, ridx)
+    assert bulk.any()
+    for k in range(40):
+        m = ridx == k
+        expected = points_in_ring(px[m], py[m], rings[f"p{k}"])
+        assert (bulk[m] == expected).all(), k
+
+
+def test_classify_cells_matches_cover_semantics():
+    """classify_cells FULL cells lie inside the ring; OUTSIDE cells'
+    centers are outside (PARTIAL is the boundary band)."""
+    from openair_spark.index.cover import FULL, OUTSIDE, classify_cells
+
+    ring = np.array(_square_ring(5.0, 47.0, 3.0))
+    res = 7
+    cells = []
+    for lat in np.arange(42.0, 52.0, 0.7):
+        for lon in np.arange(0.0, 10.0, 0.7):
+            cells.append(int(quadkey.cell_id(lat, lon, res)))
+    cells = np.array(sorted(set(cells)), dtype=np.int64)
+    kinds = classify_cells(cells, ring)
+    for cell, kind in zip(cells, kinds):
+        w, s, e, n = quadkey.cell_bounds(int(cell))
+        cx, cy = (w + e) / 2, (s + n) / 2
+        inside = bool(points_in_ring(np.array([cx]), np.array([cy]), ring)[0])
+        if kind == FULL:
+            assert inside
+        elif kind == OUTSIDE:
+            assert not inside
