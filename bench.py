@@ -96,7 +96,7 @@ def main() -> None:
             F.concat_ws("#", "url", "airspace_idx").alias("polygon_id"), "ring")
         n_points = min(int(2_000_000 * max(sf, 0.01) / 0.1), 20_000_000)
         points = spark.range(0, n_points).selectExpr(
-            "CAST(id AS STRING) AS point_id",
+            "id AS point_id",
             "(30.0e0 + (id * 40093) % 35000 / 1000.0e0) AS lat",
             "(-12.0e0 + (id * 69697) % 45000 / 1000.0e0) AS lon",
         )

@@ -242,3 +242,16 @@ def test_openair_roundtrip():
             lines.pop()
         return lines
     assert "\n".join(rstrip_blanks(out)) == "\n".join(rstrip_blanks(expected))
+
+
+def test_circular_invalid_orphan_fixture_deterministic():
+    """circular-invalid.txt is not referenced by the reference test
+    suite (orphan fixture) — no golden expectation exists; pin our
+    engine's deterministic behavior: parses, DB arc resolved against
+    the preceding VX, ring closed."""
+    result = parse_ok("circular-invalid.txt", v1_config())
+    ring = result.geojson["features"][0]["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]
+    assert len(ring) >= 4
+    again = parse_ok("circular-invalid.txt", v1_config())
+    assert again.geojson["features"][0]["geometry"] == result.geojson["features"][0]["geometry"]
