@@ -525,7 +525,7 @@ def q_knn_cell_local(spark, sf_dir):
         f"{_lat_expr('s_suppkey')} AS lat",
         f"{_lon_expr('s_suppkey')} AS lon",
     )
-    out = knn_join(cust, supp, k=3, res=4, rings=1)
+    out = knn_join(cust, supp, k=3)
     return out.select(
         "point_id", "centroid_id", "rank", F.round("dist_km", 6).alias("dist_km"))
 
@@ -663,6 +663,26 @@ FROM (
 """
 
 
+
+def q_windowed_agg(spark, sf_dir):
+    """Batch twin of streaming.windowed_event_stats (hourly tumbling
+    window) — the streaming path itself is tested in tests/test_streaming."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                 "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+                   "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_WINDOWED_AGG = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 CATALOG = {
     "tokenize_classify": QueryDef(q_tokenize_classify, SQL_TOKENIZE_CLASSIFY),
     "block_segmentation": QueryDef(q_block_segmentation, SQL_BLOCK_SEGMENTATION),
@@ -685,4 +705,5 @@ CATALOG = {
     "raster_tiles": QueryDef(q_raster_tiles, SQL_RASTER_TILES),
     "raster_assign": QueryDef(q_raster_assign, SQL_RASTER_ASSIGN),
     "envelope_bbox": QueryDef(q_envelope_bbox, SQL_ENVELOPE_BBOX),
+    "windowed_agg": QueryDef(q_windowed_agg, SQL_WINDOWED_AGG),
 }
