@@ -94,6 +94,16 @@ def _openair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return openair_lines(feats)
 
 
+def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset pipeline: pages html -> typed asset rows -> Arrow
+    decode kernel (deterministic stub decoder — no codecs in this
+    container; plumbing is real, see ops/multimodal.py)."""
+    from openair_spark.ops.multimodal import decode_features, extract_assets
+
+    assets = extract_assets(_pages_for(spark, sf_dir))
+    return decode_features(assets, fake=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001-scale corpus: parse -> tile -> cell histogram."""
     from openair_spark.ops.tiling import polygon_tiles, tile_histogram
@@ -113,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["parse_pip_join"] = _parse_pip_q
     out["feature_collections"] = _feature_collections_q
     out["openair_roundtrip"] = _openair_roundtrip_q
+    out["multimodal_decode"] = _multimodal_decode_q
     return out
 
 

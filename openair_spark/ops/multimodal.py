@@ -1,0 +1,145 @@
+"""Multimodal (binary) column operators for a training-data pipeline.
+
+Images/audio/video are opaque `binary` columns with a typed metadata
+struct; everything Spark-side — schema, column pruning, partitioning,
+Arrow batch shapes, UDF signatures — is real and tested. Only the
+actual media decode is STUBBED: the container ships no image/audio
+libraries, so `decode_image` raises NotImplementedError unless a
+deterministic fake decoder is requested (`fake=True`), which derives a
+stable small "pixel" tensor from the payload hash. Swap `_decode_one`
+for PIL/ffmpeg on a real cluster; nothing else changes.
+
+Asset source in this repo: the pages table's `html` binary column —
+each page yields one `text/html` asset; synthetic `image/png` assets
+are derived deterministically for pipeline testing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSETS_SCHEMA = (
+    "asset_id string, url string, kind string, payload binary, "
+    "meta struct<content_type:string, n_bytes:long, sha256:string>"
+)
+
+FEATURES_SCHEMA = (
+    "asset_id string, kind string, width int, height int, "
+    "mean_luma double, feature_sig string"
+)
+
+
+def extract_assets(pages: DataFrame) -> DataFrame:
+    """pages -> one asset row per page from the html binary column.
+
+    JVM-side only (sha2/length built-ins): the scan prunes to
+    (url, html) and the stage stays in whole-stage codegen.
+    """
+    return pages.select(
+        F.sha2(F.col("html"), 256).substr(1, 16).alias("asset_id"),
+        "url",
+        F.lit("html").alias("kind"),
+        F.col("html").alias("payload"),
+        F.struct(
+            F.lit("text/html").alias("content_type"),
+            F.octet_length("html").cast("long").alias("n_bytes"),
+            F.sha2(F.col("html"), 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
+    """STUB decode: no image codecs in this container.
+
+    fake=True derives a deterministic (h, w) luma tile from the payload
+    hash so downstream plumbing (resize, stats, signatures) is testable
+    end-to-end; fake=False is the integration point for a real codec.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires an image codec (PIL/libvips) not present "
+            "in this environment; pass fake=True for the deterministic stub")
+    digest = hashlib.sha256(payload).digest()
+    h = 8 + digest[0] % 8
+    w = 8 + digest[1] % 8
+    rng = np.frombuffer((digest * ((h * w) // len(digest) + 1))[: h * w],
+                        dtype=np.uint8)
+    return h, w, rng.reshape(h, w).astype(np.float64)
+
+
+def decode_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """assets -> per-asset decoded features via one Arrow mapInPandas.
+
+    Real plumbing: payload bytes cross as Arrow binary; the kernel
+    asserts each batch arrives with exactly the pruned columns (an
+    executor-side contract check — a driver-side list would never see
+    worker appends).
+    """
+    src = assets.select("asset_id", "kind", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if list(pdf.columns) != ["asset_id", "kind", "payload"]:
+                raise AssertionError(f"unexpected batch columns: {list(pdf.columns)}")
+            out = []
+            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                h, w, tile = _decode_one(bytes(payload), fake)
+                out.append({
+                    "asset_id": aid, "kind": kind,
+                    "width": w, "height": h,
+                    "mean_luma": float(tile.mean()),
+                    "feature_sig": hashlib.sha256(tile.tobytes()).hexdigest()[:16],
+                })
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "kind", "width", "height", "mean_luma", "feature_sig"])
+
+    return src.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def resize_tiles(assets: DataFrame, out_h: int = 4, out_w: int = 4,
+                 fake: bool = True) -> DataFrame:
+    """Decode -> nearest-neighbor resize to (out_h, out_w) -> flat
+    array<double> column (the thumbnail/patch shape a vision pipeline
+    feeds to an encoder)."""
+    src = assets.select("asset_id", "payload")
+    schema = f"asset_id string, tile array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h, w, tile = _decode_one(bytes(payload), fake)
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                small = tile[np.ix_(yi, xi)]
+                out.append({"asset_id": aid, "tile": [float(v) for v in small.ravel()]})
+            yield pd.DataFrame(out, columns=["asset_id", "tile"])
+
+    return src.mapInPandas(kernel, schema)
+
+
+def frame_sample(assets: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFrame:
+    """Video-style frame sampling stub: derive `n_frames` deterministic
+    'frames' per asset (payload hash chained), one output row per frame
+    — the explode shape a video pipeline produces."""
+    src = assets.select("asset_id", "payload")
+    schema = "asset_id string, frame_idx int, frame_sig string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                sig = hashlib.sha256(bytes(payload)).hexdigest()
+                for i in range(n_frames):
+                    sig = hashlib.sha256((sig + str(i)).encode()).hexdigest()
+                    out.append({"asset_id": aid, "frame_idx": i, "frame_sig": sig[:16]})
+            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame_sig"])
+
+    return src.mapInPandas(kernel, schema)

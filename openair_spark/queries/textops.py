@@ -434,6 +434,113 @@ FROM documents
 """
 
 
+
+def q_binary_asset_stats(spark, sf_dir):
+    """Binary-column handling with an oracle: documents text re-encoded
+    as bytes (the opaque-payload pattern of ops/multimodal.py), sized
+    and fingerprinted JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.md5(F.encode("text", "UTF-8")).alias("payload_md5"),
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_assets"),
+             F.sum("n_bytes").alias("total_bytes"),
+             F.min("payload_md5").alias("first_md5"))
+    )
+
+
+SQL_BINARY_ASSET_STATS = """
+SELECT lang, count(*) AS n_assets,
+       sum(octet_length(encode(text))) AS total_bytes,
+       min(md5(text)) AS first_md5
+FROM documents GROUP BY lang
+"""
+
+
+
+_NEARDUP_THRESHOLD = 0.40  # synthetic embeddings are near-orthogonal; 0.4 keeps a small real pair set
+
+
+def q_embedding_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the dedup decision the
+    top-k query ranks): all a<b pairs above the threshold."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    emb = emb.withColumn("nrm", norm)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("sim") >= _NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+SQL_EMBEDDING_COSINE_NEARDUP = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT vec_a, vec_b, sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE sim >= {_NEARDUP_THRESHOLD}
+"""
+
+_IVF_K = 16
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF coarse-quantizer assignment (the scale path for ANN): the
+    K lowest-id vectors act as the trained coarse centroids; every
+    vector is assigned to its nearest centroid by L2, deterministic
+    tie-break on centroid id."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = emb.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    l2 = F.sqrt(F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cand = emb.crossJoin(F.broadcast(cents)).withColumn("l2", l2)
+    w = Window.partitionBy("vec_id").orderBy(F.col("l2").asc(), F.col("centroid_id").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "centroid_id", F.round("l2", 6).alias("l2"))
+    )
+
+
+SQL_ANN_IVF_ASSIGN = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cand AS (
+  SELECT a.vec_id, b.vec_id AS centroid_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+              i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                 * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))) AS l2
+  FROM e a JOIN e b ON b.vec_id < {_IVF_K}
+)
+SELECT vec_id, centroid_id, round(l2, 6) AS l2 FROM (
+  SELECT vec_id, centroid_id, l2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rk
+  FROM cand
+) WHERE rk = 1
+"""
+
+
 CATALOG = {
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -445,4 +552,7 @@ CATALOG = {
     "quality_score": QueryDef(q_quality_score, SQL_QUALITY_SCORE),
     "token_count": QueryDef(q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": QueryDef(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "binary_asset_stats": QueryDef(q_binary_asset_stats, SQL_BINARY_ASSET_STATS),
+    "embedding_cosine_neardup": QueryDef(q_embedding_cosine_neardup, SQL_EMBEDDING_COSINE_NEARDUP),
+    "ann_ivf_assign": QueryDef(q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
 }

@@ -1,0 +1,52 @@
+"""Multimodal binary-column plumbing: schema, batch shape, determinism,
+stubbed decode gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openair_spark.ops.multimodal import (
+    decode_features, extract_assets, frame_sample, resize_tiles)
+from openair_spark.spark.corpus import pages_df
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return extract_assets(pages_df(spark, 25, "mm-seed")).cache()
+
+
+def test_asset_schema_and_metadata(assets):
+    rows = assets.collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["meta"]["n_bytes"] == len(r["payload"])
+        assert len(r["meta"]["sha256"]) == 64
+        assert r["asset_id"] == r["meta"]["sha256"][:16]
+
+
+def test_decode_features_batch_shape_and_determinism(assets, spark):
+    # the kernel raises executor-side if an Arrow batch arrives with
+    # anything but the pruned (asset_id, kind, payload) columns
+    feats = decode_features(assets, fake=True).collect()
+    assert len(feats) == 25
+    for r in feats:
+        assert 8 <= r["width"] <= 15 and 8 <= r["height"] <= 15
+        assert 0.0 <= r["mean_luma"] <= 255.0
+    again = decode_features(assets, fake=True).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_real_decode_is_gated(assets):
+    with pytest.raises(Exception) as exc:
+        decode_features(assets, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_resize_and_frames(assets):
+    tiles = resize_tiles(assets, out_h=4, out_w=4).collect()
+    assert all(len(r["tile"]) == 16 for r in tiles)
+    frames = frame_sample(assets, n_frames=3)
+    assert frames.count() == 75
+    per = frames.groupBy("asset_id").agg(F.countDistinct("frame_sig").alias("n")).collect()
+    assert all(r["n"] == 3 for r in per)
