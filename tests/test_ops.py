@@ -131,3 +131,30 @@ def test_checkpoint_resume(spark, tmp_path):
     rows = {r["partition_id"]: r for r in m.collect()}
     assert set(rows) == {"a", "b", "c"}
     assert all(r["status"] == "done" and r["output_rows"] == 100 for r in rows.values())
+
+
+def test_mega_polygon_skew_split_and_pip(spark):
+    """Skew handling (north rule): one FIR-sized polygon is split by the
+    compact cover into many bounded cells (coarse FULL interior +
+    fine PARTIAL boundary), and the PIP join stays correct for points
+    inside, on the far interior, and outside."""
+    import numpy as np
+
+    from openair_spark.index.cover import compact_cover
+    from openair_spark.ops.pip import pip_join
+
+    fir = [[-10.0, 35.0], [25.0, 36.0], [24.0, 64.0], [-9.0, 63.0], [-10.0, 35.0]]
+    small = [[5.001, 50.001], [5.4, 50.002], [5.4, 50.4], [5.002, 50.41], [5.001, 50.001]]
+    cells = compact_cover(np.asarray(fir), min_res=5, max_res=9)
+    full = [c for c, f in cells if f]
+    assert len(full) > 3, "FIR interior must produce coarse FULL cells"
+    assert len(cells) < 4096
+
+    pts = spark.createDataFrame(
+        [("deep-inside", 50.0, 5.0), ("in-both", 50.2, 5.2),
+         ("outside", 20.0, 5.0), ("west-of-fir", 50.0, -15.0)],
+        "point_id string, lat double, lon double")
+    hits = {(r["point_id"], r["polygon_id"])
+            for r in pip_join(pts, [{"polygon_id": "fir", "ring": fir},
+                                    {"polygon_id": "small", "ring": small}]).collect()}
+    assert hits == {("deep-inside", "fir"), ("in-both", "fir"), ("in-both", "small")}
