@@ -138,12 +138,12 @@ def _remove_nearest_coordinates(coords: np.ndarray, min_allowed_distance_m: floa
     arr = np.asarray(coords, dtype=np.float64)
     dmat = distance_km(arr[:, None, :], arr[None, :, :])
     kept: list = []
-    kept_idx: list[int] = []
+    kept_mask = np.zeros(len(arr), dtype=bool)
+    dup = dmat <= buffer_km
     for i, c in enumerate(arr):
-        row = dmat[:, i]
-        if not any(row[j] <= buffer_km for j in kept_idx):
+        if not bool((dup[:, i] & kept_mask).any()):
             kept.append([float(c[0]), float(c[1])])
-            kept_idx.append(i)
+            kept_mask[i] = True
     if len(kept) < 4:
         raise ParserError("The polygon dimensions are too small to create a polygon.", line_number)
     return kept

@@ -182,19 +182,35 @@ def segment_intersection_det(p1, p2, p3, p4):
 def ring_self_intersections(ring) -> list:
     """turf.kinks on a closed ring: all interior segment-pair crossings,
     in the reference's double-loop order (i over segments, k from i),
-    skipping adjacent segments and the first/last pair."""
-    coords = list(ring)
+    skipping adjacent segments and the first/last pair.
+
+    Vectorized over the full (i, k) pair matrix — identical arithmetic
+    to segment_intersection, so results are bit-equal to the scalar
+    double loop (np.argwhere yields row-major (i, k) order = loop order).
+    """
+    coords = np.asarray(ring, dtype=np.float64)
     nseg = len(coords) - 1
+    if nseg < 3:
+        return []
+    x1s, y1s = coords[:-1, 0], coords[:-1, 1]
+    x2s, y2s = coords[1:, 0], coords[1:, 1]
+
+    i = np.arange(nseg)[:, None]
+    k = np.arange(nseg)[None, :]
+    valid = (k > i) & (np.abs(i - k) != 1) & ~((i == 0) & (k == nseg - 1))
+
+    x1, y1, x2, y2 = x1s[:, None], y1s[:, None], x2s[:, None], y2s[:, None]
+    x3, y3, x4, y4 = x1s[None, :], y1s[None, :], x2s[None, :], y2s[None, :]
+    denom = (y4 - y3) * (x2 - x1) - (x4 - x3) * (y2 - y1)
+    a = y1 - y3
+    b = x1 - x3
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ua = ((x4 - x3) * a - (y4 - y3) * b) / denom
+        ub = ((x2 - x1) * a - (y2 - y1) * b) / denom
+    hit = valid & (denom != 0) & (ua > 0) & (ua < 1) & (ub > 0) & (ub < 1)
     out = []
-    for i in range(nseg):
-        for k in range(i, nseg):
-            if abs(i - k) == 1:
-                continue
-            if i == 0 and k == nseg - 1:
-                continue
-            if i == k:
-                continue
-            pt = segment_intersection(coords[i], coords[i + 1], coords[k], coords[k + 1])
-            if pt is not None:
-                out.append([pt[0], pt[1]])
+    for ii, kk in np.argwhere(hit):
+        u = ua[ii, kk]
+        out.append([x1s[ii] + u * (x2s[ii] - x1s[ii]),
+                    y1s[ii] + u * (y2s[ii] - y1s[ii])])
     return out

@@ -27,6 +27,14 @@ def js_to_fixed(x: float, digits: int) -> float:
     and the coordinate parser's 5-decimal precision."""
     if x != x or math.isinf(x):  # NaN/Inf pass through like JS would stringify
         return x
+    # fast path: if the shortest round-trip repr already has <= digits
+    # decimals, toFixed is the identity (the exact binary expansion sits
+    # within ~1e-15 of that decimal, far from any 10^-digits tie)
+    s = repr(x)
+    if "e" not in s and "E" not in s:
+        dot = s.find(".")
+        if dot == -1 or len(s) - dot - 1 <= digits:
+            return x
     sign = -1.0 if (x < 0 or (x == 0 and math.copysign(1.0, x) < 0)) else 1.0
     # Decimal(float) is the exact binary expansion — matches the spec's
     # "n / 10^f - x as close to zero as possible, ties pick larger n".

@@ -57,18 +57,29 @@ def remove_duplicate_points(ring: list, consume_duplicate_buffer: float = 0.0) -
     import numpy as np
 
     min_allowed_km = consume_duplicate_buffer / 1000.0
-    # one vectorized pairwise haversine (symmetric, bit-identical to the
-    # scalar call), then the greedy first-kept scan over the matrix
-    arr = np.asarray([c[:2] for c in ring], dtype=np.float64)
-    dmat = distance_km(arr[:, None, :], arr[None, :, :])
     processed: list = []
-    kept_idx: list[int] = []
-    for i, coord in enumerate(ring):
-        row = dmat[:, i]
-        duplicate = any(row[j] <= min_allowed_km for j in kept_idx)
-        if not duplicate:
-            processed.append(coord)
-            kept_idx.append(i)
+    if min_allowed_km <= 0.0:
+        # haversine(p, q) <= 0 iff p == q bit-for-bit (deg2rad is
+        # fmod+multiply, sin(x)=0 only at x=0, cos never exactly 0 in
+        # float64), so the default-buffer dedup is exact value dedup —
+        # no pairwise matrix needed
+        seen: set = set()
+        for coord in ring:
+            key = (coord[0], coord[1])
+            if key not in seen:
+                seen.add(key)
+                processed.append(coord)
+    else:
+        # one vectorized pairwise haversine (symmetric, bit-identical to
+        # the scalar call), then the greedy first-kept scan
+        arr = np.asarray([c[:2] for c in ring], dtype=np.float64)
+        dmat = distance_km(arr[:, None, :], arr[None, :, :])
+        kept_mask = np.zeros(len(ring), dtype=bool)
+        dup = dmat <= min_allowed_km
+        for i, coord in enumerate(ring):
+            if not bool((dup[:, i] & kept_mask).any()):
+                processed.append(coord)
+                kept_mask[i] = True
     # the value-equal closing point is always consumed above, so re-close
     processed.append(processed[0])
     if len(processed) < 4:
