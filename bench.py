@@ -65,6 +65,9 @@ def main() -> None:
         pages_df_dist(spark, n_pages, seed=f"bench-{sf_name}").write.mode(
             "overwrite").parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
+    # warm the JVM, python workers, and OS page cache so the recorded
+    # numbers measure the engine, not cold-start noise
+    pages.limit(256).select("url", "text").count()
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
