@@ -45,17 +45,18 @@ def build_cell_index(polygons: list[dict], min_res: int = MIN_RES,
     (FULL rows need no exact test) to keep the broadcast small."""
     rows = []
     for poly in polygons:
-        ring = poly["ring"]
-        ring_json = json.dumps(ring)
-        for cell, is_full in compact_cover(np.asarray(ring, dtype=np.float64),
-                                           min_res=min_res, max_res=max_res):
+        arr = np.asarray(poly["ring"], dtype=np.float64)
+        w, s = float(arr[:, 0].min()), float(arr[:, 1].min())
+        e, n = float(arr[:, 0].max()), float(arr[:, 1].max())
+        for cell, is_full in compact_cover(arr, min_res=min_res, max_res=max_res):
             rows.append({
                 "cell": int(cell),
                 "polygon_id": poly["polygon_id"],
                 "is_full": bool(is_full),
-                "ring_json": None if is_full else ring_json,
+                "west": w, "south": s, "east": e, "north": n,
             })
-    return pd.DataFrame(rows, columns=["cell", "polygon_id", "is_full", "ring_json"])
+    return pd.DataFrame(rows, columns=[
+        "cell", "polygon_id", "is_full", "west", "south", "east", "north"])
 
 
 def _point_cells_expr(lat_col: str, lon_col: str, cover_resolutions: list[int]):
@@ -67,29 +68,33 @@ def _point_cells_expr(lat_col: str, lon_col: str, cover_resolutions: list[int]):
     ])
 
 
-CELL_INDEX_SCHEMA = "cell long, polygon_id string, is_full boolean, ring_json string"
+CELL_INDEX_SCHEMA = ("cell long, polygon_id string, is_full boolean, "
+                     "west double, south double, east double, north double")
 
 
 def polygon_cell_index(polygons: DataFrame, min_res: int = MIN_RES,
                        max_res: int = MAX_RES) -> DataFrame:
     """Executor-parallel cover computation: polygons(polygon_id, ring)
-    -> (cell, polygon_id, is_full, ring_json). A narrow mapInPandas —
-    at 10^5+ polygons the driver never materializes the ring set; Spark
-    broadcasts the computed index directly."""
+    -> (cell, polygon_id, is_full, bbox). A narrow mapInPandas — at
+    10^5+ polygons the driver never materializes the ring set; Spark
+    broadcasts the computed index directly. The bbox lets the join
+    prefilter candidates JVM-side before the exact-PIP kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in CELL_INDEX_SCHEMA.split(", ")]
         for pdf in batches:
             rows = []
             for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
                 arr = np.asarray([list(p) for p in ring], dtype=np.float64)
-                ring_json = json.dumps([[float(p[0]), float(p[1])] for p in ring])
+                w, s = float(arr[:, 0].min()), float(arr[:, 1].min())
+                e, n = float(arr[:, 0].max()), float(arr[:, 1].max())
                 for cell, is_full in compact_cover(arr, min_res=min_res, max_res=max_res):
                     rows.append({
                         "cell": int(cell), "polygon_id": pid,
                         "is_full": bool(is_full),
-                        "ring_json": None if is_full else ring_json,
+                        "west": w, "south": s, "east": e, "north": n,
                     })
-            yield pd.DataFrame(rows, columns=["cell", "polygon_id", "is_full", "ring_json"])
+            yield pd.DataFrame(rows, columns=cols)
 
     return polygons.select("polygon_id", "ring").mapInPandas(kernel, CELL_INDEX_SCHEMA)
 
@@ -137,7 +142,7 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
         "polygon_idx int, polygon_id string")
     index_small = (
         index_df.join(F.broadcast(dim), "polygon_id")
-        .select("cell", "polygon_idx", "is_full")
+        .select("cell", "polygon_idx", "is_full", "west", "south", "east", "north")
         .cache()
     )
 
@@ -158,7 +163,15 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
     # (no union of two branches — a union here re-executes the whole
     # upstream parse/index/join per branch, Catalyst does not reuse the
     # exchange across mapInPandas subplans)
-    candidates = pts.join(F.broadcast(index_small), "cell", "inner").drop("cell")
+    candidates = (
+        pts.join(F.broadcast(index_small), "cell", "inner")
+        # bbox prefilter (JVM, inclusive = safe superset of the ray-cast):
+        # drops cell-sharing candidates outside the polygon's bbox before
+        # they cross into the Python kernel
+        .where((F.col(lon_col) >= F.col("west")) & (F.col(lon_col) <= F.col("east"))
+               & (F.col(lat_col) >= F.col("south")) & (F.col(lat_col) <= F.col("north")))
+        .drop("cell", "west", "south", "east", "north")
+    )
 
     out_fields = [n for n in candidates.schema.fieldNames() if n != "is_full"]
     schema = ", ".join(

@@ -13,7 +13,6 @@ partial+final handled by Spark).
 
 from __future__ import annotations
 
-import json
 from typing import Iterator
 
 import numpy as np
@@ -22,8 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..index import quadkey
-from ..index.pip import points_in_ring
-from .pip import build_cell_index
+from .pip import CELL_INDEX_SCHEMA, build_cell_index
 
 
 def tiles_from_points(points: DataFrame, res: int,
@@ -48,36 +46,39 @@ def assign_tiles(tiles: DataFrame, polygons: list[dict], res: int,
     join key is the tile id itself; FULL cover cells assign directly,
     PARTIAL cells test the tile center in the Arrow kernel.
     """
+    from ..index.pip import RingSet
+
     spark = tiles.sparkSession
     index_pdf = build_cell_index(polygons, min_res=res, max_res=res)
-    index_df = spark.createDataFrame(
-        index_pdf, "cell long, polygon_id string, is_full boolean, ring_json string")
+    index_df = spark.createDataFrame(index_pdf, CELL_INDEX_SCHEMA).drop(
+        "west", "south", "east", "north")
+    rings_b = spark.sparkContext.broadcast(
+        RingSet({p["polygon_id"]: np.asarray(p["ring"], dtype=np.float64)
+                 for p in polygons}))
 
     cand = tiles.join(F.broadcast(index_df), tiles[tile_col] == index_df.cell, "inner").drop("cell")
-    full = cand.where(F.col("is_full")).drop("is_full", "ring_json")
-    partial = cand.where(~F.col("is_full")).drop("is_full")
-
-    out_fields = [f for f in full.schema.fields]
+    out_fields = [f for f in cand.schema.fields if f.name != "is_full"]
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     names = [f.name for f in out_fields]
 
     def center_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rs: RingSet = rings_b.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pdf = pdf.reset_index(drop=True)
-            west, south, east, north = quadkey.cell_bounds(pdf[tile_col].to_numpy())
-            cx = (np.asarray(west) + np.asarray(east)) / 2.0
-            cy = (np.asarray(south) + np.asarray(north)) / 2.0
-            keep = np.zeros(len(pdf), dtype=bool)
-            for ring_json, group in pdf.groupby("ring_json"):
-                ring = np.asarray(json.loads(ring_json), dtype=np.float64)
-                gi = group.index.to_numpy()
-                keep[gi] = points_in_ring(cx[gi], cy[gi], ring)
+            keep = pdf["is_full"].to_numpy(dtype=bool).copy()
+            part = np.flatnonzero(~keep)
+            if len(part):
+                cells = pdf[tile_col].to_numpy()[part]
+                west, south, east, north = quadkey.cell_bounds(cells)
+                cx = (np.asarray(west) + np.asarray(east)) / 2.0
+                cy = (np.asarray(south) + np.asarray(north)) / 2.0
+                ridx = pdf["polygon_id"].iloc[part].map(rs.idx_of).to_numpy(dtype=np.int64)
+                keep[part] = rs.contains(cx, cy, ridx)
             yield pdf.loc[keep, names]
 
-    partial_hits = partial.mapInPandas(center_kernel, schema)
-    return full.unionByName(partial_hits)
+    return cand.mapInPandas(center_kernel, schema)
 
 
 def zonal_stats(assigned: DataFrame, value_col: str = "tile_value") -> DataFrame:

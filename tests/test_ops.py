@@ -71,8 +71,7 @@ def test_pip_join_shuffle_matches_broadcast(points, spark):
     for poly in POLYGONS:
         pdf = build_cell_index([poly], min_res=7, max_res=7)
         for _, row in pdf.iterrows():
-            cells.append((int(row["cell"]), poly["polygon_id"],
-                          row["ring_json"] or json.dumps(poly["ring"])))
+            cells.append((int(row["cell"]), poly["polygon_id"], json.dumps(poly["ring"])))
     cells_df = spark.createDataFrame(cells, "cell long, polygon_id string, ring_json string")
     got = {
         (r["point_id"], r["polygon_id"])
