@@ -94,6 +94,24 @@ def _openair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return openair_lines(feats)
 
 
+def _spark_native_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-native (window/groupBy) formulation of the reference's
+    tokenize + block-segmentation FSM over REAL OpenAIR text — the
+    running-sum window replaces src/parser.ts:129-159; classification is
+    a JVM when/rlike cascade (no Python)."""
+    from openair_spark.spark.extract import extract_openair
+    from openair_spark.spark.tokenize import blocks_df, tokens_df
+
+    extracted = extract_openair(_pages_for(spark, sf_dir))
+    blocks = blocks_df(tokens_df(extracted))
+    return (
+        blocks.groupBy("url", "block_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.min("line_no").alias("first_line"),
+             F.max("line_no").alias("last_line"))
+    )
+
+
 def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary asset pipeline: pages html -> typed asset rows -> Arrow
     decode kernel (deterministic stub decoder — no codecs in this
@@ -124,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["feature_collections"] = _feature_collections_q
     out["openair_roundtrip"] = _openair_roundtrip_q
     out["multimodal_decode"] = _multimodal_decode_q
+    out["spark_native_blocks"] = _spark_native_blocks_q
     return out
 
 

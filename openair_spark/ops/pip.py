@@ -59,6 +59,38 @@ def build_cell_index(polygons: list[dict], min_res: int = MIN_RES,
         "cell", "polygon_id", "is_full", "west", "south", "east", "north"])
 
 
+def collect_ring_set(polygons: DataFrame) -> RingSet:
+    """Driver-side RingSet from a polygons DataFrame via FLAT edge
+    columns: nested ring arrays through toPandas materialize millions
+    of python list objects on the driver (seconds of serial time at
+    10^4+ polygons); exploding to one row per edge keeps the transfer
+    pure-numeric Arrow -> numpy."""
+    edges = polygons.select(
+        "polygon_id",
+        F.posexplode(F.expr(
+            "transform(slice(ring, 1, size(ring) - 1), "
+            "(p, i) -> struct(p[0] AS x1, p[1] AS y1, "
+            "ring[i + 1][0] AS x2, ring[i + 1][1] AS y2))")).alias("edge_idx", "e"),
+    ).select("polygon_id", "edge_idx", "e.x1", "e.y1", "e.x2", "e.y2")
+    pdf = edges.toPandas()
+    if len(pdf) == 0:
+        return RingSet({})
+    pdf = pdf.sort_values(["polygon_id", "edge_idx"], kind="stable")
+    rs = RingSet({})
+    pid_arr = pdf["polygon_id"].to_numpy()
+    bounds = np.flatnonzero(np.concatenate([[True], pid_arr[1:] != pid_arr[:-1]]))
+    counts = np.diff(np.concatenate([bounds, [len(pid_arr)]]))
+    rs.ids = [pid_arr[b] for b in bounds]
+    rs.idx_of = {pid: i for i, pid in enumerate(rs.ids)}
+    rs.x1 = pdf["x1"].to_numpy(dtype=np.float64)
+    rs.y1 = pdf["y1"].to_numpy(dtype=np.float64)
+    rs.x2 = pdf["x2"].to_numpy(dtype=np.float64)
+    rs.y2 = pdf["y2"].to_numpy(dtype=np.float64)
+    rs.lens = counts.astype(np.int64)
+    rs.starts = bounds.astype(np.int64)
+    return rs
+
+
 def _point_cells_expr(lat_col: str, lon_col: str, cover_resolutions: list[int]):
     """Array of the point's cell ids at every resolution the cover uses —
     pure Spark SQL so the join key computation stays JVM-side."""
@@ -120,16 +152,10 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
     # polygon_id, not the ring JSON, so the Arrow transfer stays
     # ~constant bytes/row and tasks pay no per-task ring-parse cost
     if isinstance(polygons, DataFrame):
-        # Arrow-path toPandas: the rings land as numpy object arrays in
-        # one driver pass (a Row-based collect re-boxes every coordinate
-        # and serializes the driver for seconds at 10^4+ polygons)
-        pdf = polygons.select("polygon_id", "ring").toPandas()
-        rings = {pid: np.asarray([np.asarray(p, dtype=np.float64) for p in ring])
-                 for pid, ring in zip(pdf["polygon_id"], pdf["ring"])}
+        ring_set = collect_ring_set(polygons)
     else:
-        rings = {p["polygon_id"]: np.asarray(p["ring"], dtype=np.float64)
-                 for p in polygons}
-    ring_set = RingSet(rings)
+        ring_set = RingSet({p["polygon_id"]: np.asarray(p["ring"], dtype=np.float64)
+                            for p in polygons})
     rings_b = spark.sparkContext.broadcast(ring_set)
 
     # the hot path carries an int polygon_idx, never the id string:
@@ -207,6 +233,11 @@ def pip_join_shuffle(points: DataFrame, polygon_cells: DataFrame,
     reducers (explicit skew handling, north rule).
 
     polygon_cells: DataFrame(cell long, polygon_id string, ring_json string)
+
+    Ring geometry must flow through the shuffle here (if the polygon
+    set fit in a broadcast, pip_join is the right operator), so rows
+    carry ring_json; a worker-global cache amortizes the JSON parse
+    across tasks since python workers are reused.
     """
     pts = points.withColumn("cell", F.expr(quadkey.sql_cell_expr(lat_col, lon_col, res)))
     pts = pts.withColumn("_salt", F.pmod(F.hash(lon_col, lat_col), F.lit(salt)))
@@ -222,15 +253,26 @@ def pip_join_shuffle(points: DataFrame, polygon_cells: DataFrame,
     names = [f.name for f in out_fields]
 
     def exact_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache = _WORKER_RING_CACHE
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pdf = pdf.reset_index(drop=True)
             keep = np.zeros(len(pdf), dtype=bool)
             for ring_json, group in pdf.groupby("ring_json"):
-                ring = np.asarray(json.loads(ring_json), dtype=np.float64)
+                ring = cache.get(ring_json)
+                if ring is None:
+                    if len(cache) > 50_000:
+                        cache.clear()
+                    ring = np.asarray(json.loads(ring_json), dtype=np.float64)
+                    cache[ring_json] = ring
                 keep[group.index.to_numpy()] = points_in_ring(
                     group[lon_col].to_numpy(), group[lat_col].to_numpy(), ring)
             yield pdf.loc[keep, names]
 
     return candidates.mapInPandas(exact_kernel, schema)
+
+
+# worker-global ring cache for the shuffle PIP variant (python workers
+# are reused across tasks; bounded by periodic clear)
+_WORKER_RING_CACHE: dict[str, "np.ndarray"] = {}
