@@ -34,7 +34,16 @@ def test_dms_roundtrip_on_arcsecond_grid(lat_s, lon_s):
                           st.floats(-89, 89, allow_nan=False)),
                 min_size=3, max_size=12))
 def test_rewind_idempotent_and_ccw(pts):
+    from hypothesis import assume
+
     ring = [list(p) for p in pts] + [list(pts[0])]
+    # degenerate (near-zero-area) rings can read "clockwise" in BOTH
+    # orientations under float shoelace — turf.booleanClockwise behaves
+    # identically, so idempotence is only a property of real rings
+    xs = np.array([p[0] for p in ring])
+    ys = np.array([p[1] for p in ring])
+    s = float(np.sum((xs[1:] - xs[:-1]) * (ys[1:] + ys[:-1])))
+    assume(abs(s) > 1e-9)
     out = rewind_ring(ring)
     assert rewind_ring(out) == out        # idempotent
     if not boolean_clockwise(ring):
