@@ -94,6 +94,36 @@ def _openair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return openair_lines(feats)
 
 
+def _checkpoint_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition checkpoint/lineage surface (north rule): run a tiny
+    bucketed parse job through run_partitioned twice (second pass must
+    skip everything), return the manifest rows (lineage: rows in/out +
+    order-insensitive checksum; timestamps excluded for determinism)."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from openair_spark.ops.checkpoint import read_manifest, run_partitioned
+    from openair_spark.spark.pipeline import parse_features
+
+    root = tempfile.mkdtemp(prefix="ckpt_q_")
+    pages = _pages_for(spark, sf_dir).withColumn(
+        "_bucket", F2.pmod(F2.xxhash64("url"), F2.lit(4)))
+
+    def build(pid: str):
+        part = pages.where(F2.col("_bucket") == int(pid)).drop("_bucket")
+        return parse_features(part), part.count()
+
+    manifest_path = f"{root}/manifest"
+    run_partitioned(spark, [str(b) for b in range(4)], build,
+                    output_root=f"{root}/features", manifest_path=manifest_path)
+    again = run_partitioned(spark, [str(b) for b in range(4)], build,
+                            output_root=f"{root}/features", manifest_path=manifest_path)
+    assert again["processed"] == [] and len(again["skipped"]) == 4
+    return read_manifest(spark, manifest_path).select(
+        "partition_id", "status", "input_rows", "output_rows", "checksum", "attempt")
+
+
 def _spark_native_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark-native (window/groupBy) formulation of the reference's
     tokenize + block-segmentation FSM over REAL OpenAIR text — the
@@ -143,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["openair_roundtrip"] = _openair_roundtrip_q
     out["multimodal_decode"] = _multimodal_decode_q
     out["spark_native_blocks"] = _spark_native_blocks_q
+    out["checkpoint_manifest"] = _checkpoint_manifest_q
     return out
 
 
