@@ -157,3 +157,29 @@ def test_mega_polygon_skew_split_and_pip(spark):
             for r in pip_join(pts, [{"polygon_id": "fir", "ring": fir},
                                     {"polygon_id": "small", "ring": small}]).collect()}
     assert hits == {("deep-inside", "fir"), ("in-both", "fir"), ("in-both", "small")}
+
+
+def test_collect_ring_set_flat_edges(spark):
+    """collect_ring_set builds the same CSR edge arrays as the
+    nested-list constructor, and tolerates an empty polygon set."""
+    import numpy as np
+
+    from openair_spark.index.pip import RingSet
+    from openair_spark.ops.pip import collect_ring_set
+
+    polys = [(pid, [[float(i), float(i)] for i in range(n)] + [[0.0, 0.0]])
+             for pid, n in (("a", 4), ("b", 6), ("c", 3))]
+    df = spark.createDataFrame(polys, "polygon_id string, ring array<array<double>>")
+    flat = collect_ring_set(df)
+    ref = RingSet({pid: np.asarray(ring) for pid, ring in polys})
+    for pid in ("a", "b", "c"):
+        i, j = flat.idx_of[pid], ref.idx_of[pid]
+        assert flat.lens[i] == ref.lens[j]
+        sl_f = slice(flat.starts[i], flat.starts[i] + flat.lens[i])
+        sl_r = slice(ref.starts[j], ref.starts[j] + ref.lens[j])
+        for attr in ("x1", "y1", "x2", "y2"):
+            assert (getattr(flat, attr)[sl_f] == getattr(ref, attr)[sl_r]).all()
+
+    empty = spark.createDataFrame([], "polygon_id string, ring array<array<double>>")
+    rs = collect_ring_set(empty)
+    assert rs.ids == [] and len(rs.x1) == 0
