@@ -133,8 +133,10 @@ SELECT user_id, block_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM (
   SELECT user_id, event_id,
-         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id {_EVENT_ORDER}) AS block_id
+         -- CAST: DuckDB integer sum() yields HUGEINT; Spark yields BIGINT.
+         -- The driver's typed value-hash needs both sides to be int64.
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id {_EVENT_ORDER}) AS BIGINT) AS block_id
   FROM events
 ) GROUP BY user_id, block_id
 """
@@ -248,7 +250,7 @@ def q_ceiling_sanity(spark, sf_dir):
 
 SQL_CEILING_SANITY = """
 SELECT user_id, round(max(alt_ft), 6) AS max_alt_ft,
-       sum(CASE WHEN alt_ft > 200.0 THEN 1 ELSE 0 END) AS n_violations
+       CAST(sum(CASE WHEN alt_ft > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
 FROM (
   SELECT user_id,
          CASE WHEN event_id % 2 = 0 THEN value * 3.28084 ELSE value END AS alt_ft

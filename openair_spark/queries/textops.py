@@ -81,10 +81,22 @@ FROM (
 """
 
 _JACCARD_THRESHOLD = 0.5
+# Hot-shingle cap: a corpus-frequent shingle ("terms of service ...") makes
+# the shingle self-join emit O(df^2) candidate rows — quadratic at 100 TB.
+# Shingles with document frequency above the cap are dropped from the sets
+# entirely (sizes AND intersections), the standard SPEX/suffix-filter trick;
+# boilerplate shingles carry no near-dup signal anyway.
+_MAX_SHINGLE_DF = 100
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    shingles = _spark_shingles(load(spark, sf_dir, "documents")).cache()
+    raw = _spark_shingles(load(spark, sf_dir, "documents"))
+    df_per_shingle = raw.groupBy("shingle").agg(F.count("*").alias("df"))
+    shingles = (
+        raw.join(df_per_shingle.where(F.col("df") <= _MAX_SHINGLE_DF), "shingle")
+        .select("doc_id", "shingle")
+        .cache()
+    )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -106,7 +118,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH shingles AS ({_SQL_SHINGLES}),
+WITH raw_shingles AS ({_SQL_SHINGLES}),
+shingles AS (
+  SELECT doc_id, shingle FROM raw_shingles
+  WHERE shingle IN (
+    SELECT shingle FROM raw_shingles GROUP BY shingle
+    HAVING count(*) <= {_MAX_SHINGLE_DF}
+  )
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -211,7 +230,9 @@ bits AS (
 ),
 votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2)
 SELECT doc_id,
-       sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+       -- CAST: DuckDB sum() over integers is HUGEINT; Spark emits BIGINT and
+       -- the driver's typed value-hash requires both sides int64.
+       CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -267,9 +288,17 @@ SELECT vec_a, vec_b, sim, rk FROM (
 """
 
 _N_PLANES = 8
+_NEARDUP_THRESHOLD = 0.40  # synthetic embeddings are near-orthogonal; 0.4 keeps a small real pair set
 
 
-def q_ann_lsh_buckets(spark, sf_dir):
+def _spark_lsh_bits(spark, sf_dir):
+    """Random-hyperplane sign bits per (vec_id, plane j).
+
+    Plane weights are md5-seeded ±1 (portable to the DuckDB oracle); the
+    per-plane dot is rounded before the sign threshold because Spark's
+    partial-agg sum order is nondeterministic and a near-zero dot must not
+    flip sign vs the oracle's sequential sum.
+    """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     comp = emb.select(
@@ -287,34 +316,120 @@ def q_ann_lsh_buckets(spark, sf_dir):
     )
     dots = (
         planes.groupBy("vec_id", "j")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+        .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("dot"))
     )
+    return dots.withColumn(
+        "bit", F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    bits = _spark_lsh_bits(spark, sf_dir)
     return (
-        dots.withColumn(
+        bits.withColumn(
             "bitval",
-            F.expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) "
-                   "ELSE CAST(0 AS BIGINT) END"))
+            F.expr("shiftleft(CAST(bit AS BIGINT), CAST(j AS INT))"))
         .groupBy("vec_id")
         .agg(F.sum("bitval").alias("bucket"))
     )
 
 
-SQL_ANN_LSH_BUCKETS = f"""
-WITH comp AS (
+_SQL_LSH_BITS = f"""
+comp AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
 ),
 dots AS (
   SELECT vec_id, j,
-         sum(x * CASE WHEN {_sql_hex60("md5(concat_ws('_', CAST(j AS VARCHAR), CAST(d AS VARCHAR)))")} % 2 = 0
-                      THEN 1.0 ELSE -1.0 END) AS dot
+         round(sum(x * CASE WHEN {_sql_hex60("md5(concat_ws('_', CAST(j AS VARCHAR), CAST(d AS VARCHAR)))")} % 2 = 0
+                      THEN 1.0 ELSE -1.0 END), 6) AS dot
   FROM comp CROSS JOIN (SELECT unnest(range({_N_PLANES})) AS j)
   GROUP BY vec_id, j
-)
+),
+bits AS (
+  SELECT vec_id, j, CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS bit FROM dots
+)"""
+
+SQL_ANN_LSH_BUCKETS = f"""
+WITH {_SQL_LSH_BITS}
 SELECT vec_id,
-       sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
-FROM dots GROUP BY vec_id
+       CAST(sum(CAST(bit AS BIGINT) << j) AS BIGINT) AS bucket
+FROM bits GROUP BY vec_id
+"""
+
+_LSH_BAND_PLANES = 2  # -> 4 bands of 2 sign bits each
+
+
+def q_ann_bucket_join(spark, sf_dir):
+    """ANN candidate-pair join: the query that makes the LSH buckets useful.
+
+    Signatures are banded (4 bands x 2 planes); any shared (band, band key)
+    makes a candidate pair, which is then verified with the exact cosine and
+    thresholded. At scale this is an equi-join on (band, key) with bounded
+    bucket sizes — never all-pairs; multi-band collision probability
+    1-(1-p^2)^4 keeps recall high where single-bucket 8-bit agreement
+    (p^8) would not.
+    """
+    bits = _spark_lsh_bits(spark, sf_dir)
+    bands = (
+        bits.withColumn("band", (F.col("j") / _LSH_BAND_PLANES).cast("int"))
+        .withColumn("bitval", F.expr(
+            f"shiftleft(CAST(bit AS BIGINT), CAST(j % {_LSH_BAND_PLANES} AS INT))"))
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bitval").alias("bkey"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    emb = emb.withColumn("nrm", norm)
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("sim") >= _NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+SQL_ANN_BUCKET_JOIN = f"""
+WITH {_SQL_LSH_BITS},
+bands AS (
+  SELECT vec_id, CAST(j // {_LSH_BAND_PLANES} AS INT) AS band,
+         CAST(sum(CAST(bit AS BIGINT) << (j % {_LSH_BAND_PLANES})) AS BIGINT) AS bkey
+  FROM bits GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT vec_a, vec_b, sim FROM (
+  SELECT vec_a, vec_b,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+               / (ea.nrm * eb.nrm), 6) AS sim
+  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+) WHERE sim >= {_NEARDUP_THRESHOLD}
 """
 
 
@@ -411,8 +526,8 @@ def q_token_count(spark, sf_dir):
 
 SQL_TOKEN_COUNT = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_ws_tokens,
-       sum(len(regexp_extract_all(text, '[a-z]+'))) AS total_re_tokens
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_re_tokens
 FROM documents GROUP BY lang
 """
 
@@ -455,14 +570,11 @@ def q_binary_asset_stats(spark, sf_dir):
 
 SQL_BINARY_ASSET_STATS = """
 SELECT lang, count(*) AS n_assets,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        min(md5(text)) AS first_md5
 FROM documents GROUP BY lang
 """
 
-
-
-_NEARDUP_THRESHOLD = 0.40  # synthetic embeddings are near-orthogonal; 0.4 keeps a small real pair set
 
 
 def q_embedding_cosine_neardup(spark, sf_dir):
@@ -548,6 +660,7 @@ CATALOG = {
     "simhash_fingerprint": QueryDef(q_simhash, SQL_SIMHASH),
     "embedding_topk_cosine": QueryDef(q_embedding_topk_cosine, SQL_EMBEDDING_TOPK_COSINE),
     "ann_lsh_buckets": QueryDef(q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_bucket_join": QueryDef(q_ann_bucket_join, SQL_ANN_BUCKET_JOIN),
     "langid_heuristic": QueryDef(q_langid_heuristic, SQL_LANGID_HEURISTIC),
     "quality_score": QueryDef(q_quality_score, SQL_QUALITY_SCORE),
     "token_count": QueryDef(q_token_count, SQL_TOKEN_COUNT),

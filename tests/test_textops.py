@@ -1,0 +1,42 @@
+"""Training-data op semantics: ANN bucket join recall, hot-shingle cap."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_bucket_join_subset_and_recall(spark):
+    """Banded LSH candidates + exact verify must be a subset of the
+    brute-force near-dup pairs, with usable recall (4 bands x 2 planes:
+    collision prob 1-(1-p^2)^4, ~0.87 at sim 0.4)."""
+    from openair_spark.queries.textops import (
+        q_ann_bucket_join,
+        q_embedding_cosine_neardup,
+    )
+
+    ann = {(r.vec_a, r.vec_b): r.sim for r in q_ann_bucket_join(spark, SF).collect()}
+    brute = {(r.vec_a, r.vec_b): r.sim
+             for r in q_embedding_cosine_neardup(spark, SF).collect()}
+    assert set(ann) <= set(brute)
+    for pair, sim in ann.items():
+        assert sim == brute[pair]
+    if brute:  # recall over the true pair set
+        assert len(ann) / len(brute) >= 0.5
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path):
+    """A corpus-frequent shingle (df > cap) must not generate candidate
+    pairs; genuinely duplicated documents still match."""
+    from openair_spark.queries.textops import _MAX_SHINGLE_DF, q_dedup_ngram_jaccard
+
+    n_hot = _MAX_SHINGLE_DF + 20
+    rows = [(i, f"hot hot hot u{i}a u{i}b u{i}c", "en") for i in range(n_hot)]
+    # two exact duplicates whose shingles are rare (df=2)
+    rows += [(n_hot, "real dup text body here", "en"),
+             (n_hot + 1, "real dup text body here", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert pairs == {(n_hot, n_hot + 1): 1.0}
