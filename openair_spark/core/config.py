@@ -63,4 +63,38 @@ class ParserConfig:
             setattr(cfg, key, value)
         if cfg.target_alt_unit is not None:
             cfg.target_alt_unit = cfg.target_alt_unit.upper()
+        cfg.validate()
         return cfg
+
+    def validate(self) -> None:
+        """Value-level config validation (Zod-schema mirror).
+
+        Parser schema: reference src/parser.ts:58-76 (unlimited int>=1,
+        geometryDetail int>=1, consumeDuplicateBuffer>=0, enums).
+        Factory schema additionally requires geometryDetail >= 50
+        (src/airspace-factory.ts:44-51) and is constructed on every
+        parse, so <50 always fails — enforced here, at the same
+        config-resolution boundary."""
+        if self.version not in (VERSION_1, VERSION_2):
+            raise TypeError(f"invalid config value version={self.version!r}")
+        if not isinstance(self.unlimited, int) or self.unlimited < 1:
+            raise TypeError(f"invalid config value unlimited={self.unlimited!r}")
+        if not isinstance(self.geometry_detail, int) or self.geometry_detail < 50:
+            raise TypeError(
+                f"invalid config value geometry_detail={self.geometry_detail!r} (min 50)")
+        if not (isinstance(self.consume_duplicate_buffer, (int, float))
+                and self.consume_duplicate_buffer >= 0):
+            raise TypeError(
+                "invalid config value consume_duplicate_buffer="
+                f"{self.consume_duplicate_buffer!r} (min 0)")
+        if self.output_geometry not in (POLYGON, LINESTRING):
+            raise TypeError(
+                f"invalid config value output_geometry={self.output_geometry!r}")
+        if self.target_alt_unit is not None and self.target_alt_unit not in ("FT", "M", "FL"):
+            raise TypeError(
+                f"invalid config value target_alt_unit={self.target_alt_unit!r}")
+        for name in ("allowed_classes", "allowed_types"):
+            vals = getattr(self, name)
+            if not isinstance(vals, list) or any(
+                    not isinstance(v, str) or not v for v in vals):
+                raise TypeError(f"invalid config value {name}={vals!r}")

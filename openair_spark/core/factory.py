@@ -136,14 +136,27 @@ def _remove_nearest_coordinates(coords: np.ndarray, min_allowed_distance_m: floa
     (src/airspace-factory.ts:699-723)."""
     buffer_km = min_allowed_distance_m / 1000.0
     arr = np.asarray(coords, dtype=np.float64)
-    dmat = distance_km(arr[:, None, :], arr[None, :, :])
     kept: list = []
-    kept_mask = np.zeros(len(arr), dtype=bool)
-    dup = dmat <= buffer_km
-    for i, c in enumerate(arr):
-        if not bool((dup[:, i] & kept_mask).any()):
+    if len(arr) <= 2048:
+        dmat = distance_km(arr[:, None, :], arr[None, :, :])
+        kept_mask = np.zeros(len(arr), dtype=bool)
+        dup = dmat <= buffer_km
+        for i, c in enumerate(arr):
+            if not bool((dup[:, i] & kept_mask).any()):
+                kept.append([float(c[0]), float(c[1])])
+                kept_mask[i] = True
+    else:
+        # huge geometry_detail: avoid the O(n^2) matrix inside a worker;
+        # test each candidate against the kept prefix (same elementwise
+        # haversine, bit-identical per pair)
+        kept_buf = np.empty_like(arr)
+        nk = 0
+        for i, c in enumerate(arr):
+            if nk and bool((distance_km(kept_buf[:nk], arr[i]) <= buffer_km).any()):
+                continue
+            kept_buf[nk] = arr[i]
+            nk += 1
             kept.append([float(c[0]), float(c[1])])
-            kept_mask[i] = True
     if len(kept) < 4:
         raise ParserError("The polygon dimensions are too small to create a polygon.", line_number)
     return kept

@@ -184,9 +184,13 @@ def ring_self_intersections(ring) -> list:
     in the reference's double-loop order (i over segments, k from i),
     skipping adjacent segments and the first/last pair.
 
-    Vectorized over the full (i, k) pair matrix — identical arithmetic
-    to segment_intersection, so results are bit-equal to the scalar
-    double loop (np.argwhere yields row-major (i, k) order = loop order).
+    Vectorized over the (i, k) pair matrix in fixed-size i-row blocks —
+    identical arithmetic to segment_intersection, so results are
+    bit-equal to the scalar double loop (np.argwhere within a block
+    yields row-major (i, k) order, and blocks run in ascending i, so
+    global order = loop order). Blocking caps worker memory at
+    O(block * nseg) instead of O(nseg^2): crawl pages are untrusted
+    input and a pathological ring must not OOM an Arrow worker.
     """
     coords = np.asarray(ring, dtype=np.float64)
     nseg = len(coords) - 1
@@ -195,22 +199,26 @@ def ring_self_intersections(ring) -> list:
     x1s, y1s = coords[:-1, 0], coords[:-1, 1]
     x2s, y2s = coords[1:, 0], coords[1:, 1]
 
-    i = np.arange(nseg)[:, None]
     k = np.arange(nseg)[None, :]
-    valid = (k > i) & (np.abs(i - k) != 1) & ~((i == 0) & (k == nseg - 1))
-
-    x1, y1, x2, y2 = x1s[:, None], y1s[:, None], x2s[:, None], y2s[:, None]
     x3, y3, x4, y4 = x1s[None, :], y1s[None, :], x2s[None, :], y2s[None, :]
-    denom = (y4 - y3) * (x2 - x1) - (x4 - x3) * (y2 - y1)
-    a = y1 - y3
-    b = x1 - x3
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ua = ((x4 - x3) * a - (y4 - y3) * b) / denom
-        ub = ((x2 - x1) * a - (y2 - y1) * b) / denom
-    hit = valid & (denom != 0) & (ua > 0) & (ua < 1) & (ub > 0) & (ub < 1)
     out = []
-    for ii, kk in np.argwhere(hit):
-        u = ua[ii, kk]
-        out.append([x1s[ii] + u * (x2s[ii] - x1s[ii]),
-                    y1s[ii] + u * (y2s[ii] - y1s[ii])])
+    block = max(1, 4_000_000 // nseg)
+    for lo in range(0, nseg, block):
+        hi = min(lo + block, nseg)
+        i = np.arange(lo, hi)[:, None]
+        valid = (k > i) & (np.abs(i - k) != 1) & ~((i == 0) & (k == nseg - 1))
+        x1, y1 = x1s[lo:hi, None], y1s[lo:hi, None]
+        x2, y2 = x2s[lo:hi, None], y2s[lo:hi, None]
+        denom = (y4 - y3) * (x2 - x1) - (x4 - x3) * (y2 - y1)
+        a = y1 - y3
+        b = x1 - x3
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ua = ((x4 - x3) * a - (y4 - y3) * b) / denom
+            ub = ((x2 - x1) * a - (y2 - y1) * b) / denom
+        hit = valid & (denom != 0) & (ua > 0) & (ua < 1) & (ub > 0) & (ub < 1)
+        for ii, kk in np.argwhere(hit):
+            u = ua[ii, kk]
+            gi = lo + ii
+            out.append([x1s[gi] + u * (x2s[gi] - x1s[gi]),
+                        y1s[gi] + u * (y2s[gi] - y1s[gi])])
     return out

@@ -57,8 +57,15 @@ def remove_duplicate_points(ring: list, consume_duplicate_buffer: float = 0.0) -
     import numpy as np
 
     min_allowed_km = consume_duplicate_buffer / 1000.0
+    if min_allowed_km < 0.0:
+        # negative buffers are rejected at config resolution (reference
+        # AsGeojsonConfigSchema: consumeDuplicateBuffer z.number().min(0),
+        # src/airspace.ts:20-31); reject here too so a direct call can't
+        # silently diverge (the scalar reference loop would drop nothing)
+        raise ValueError(
+            f"consume_duplicate_buffer must be >= 0, got {consume_duplicate_buffer!r}")
     processed: list = []
-    if min_allowed_km <= 0.0:
+    if min_allowed_km == 0.0:
         # haversine(p, q) <= 0 iff p == q bit-for-bit (deg2rad is
         # fmod+multiply, sin(x)=0 only at x=0, cos never exactly 0 in
         # float64), so the default-buffer dedup is exact value dedup —
@@ -69,7 +76,7 @@ def remove_duplicate_points(ring: list, consume_duplicate_buffer: float = 0.0) -
             if key not in seen:
                 seen.add(key)
                 processed.append(coord)
-    else:
+    elif len(ring) <= 2048:
         # one vectorized pairwise haversine (symmetric, bit-identical to
         # the scalar call), then the greedy first-kept scan
         arr = np.asarray([c[:2] for c in ring], dtype=np.float64)
@@ -80,6 +87,21 @@ def remove_duplicate_points(ring: list, consume_duplicate_buffer: float = 0.0) -
             if not bool((dup[:, i] & kept_mask).any()):
                 processed.append(coord)
                 kept_mask[i] = True
+    else:
+        # untrusted mega-ring: the full n x n matrix would allocate
+        # O(n^2) float64 inside an Arrow worker; test each candidate
+        # against the kept prefix instead (same elementwise haversine,
+        # bit-identical per pair, O(n * kept) memory O(n))
+        arr = np.asarray([c[:2] for c in ring], dtype=np.float64)
+        kept_buf = np.empty_like(arr)
+        nk = 0
+        for i, coord in enumerate(ring):
+            if nk and bool(
+                    (distance_km(kept_buf[:nk], arr[i]) <= min_allowed_km).any()):
+                continue
+            kept_buf[nk] = arr[i]
+            nk += 1
+            processed.append(coord)
     # the value-equal closing point is always consumed above, so re-close
     processed.append(processed[0])
     if len(processed) < 4:
@@ -102,13 +124,21 @@ def remove_intermediate_points(ring: list, greedy_variance: float = 0.0) -> list
     # whole predicate precomputes as one broadcast bearing matrix:
     #   B[i, j] = bearing(ring[i] -> ring[j])   (bit-identical formula)
     #   drop i when any j with j+1 < i has |B[i,j] - B[i,j+1]| ~ 180
+    # Chunked over i rows: rings are untrusted crawl input, and the full
+    # n x n matrix would allocate O(n^2) float64 inside an Arrow worker.
     arr = np.asarray([c[:2] for c in ring], dtype=np.float64)
     n = len(arr)
-    bmat = bearing(arr[:, None, :], arr[None, :, :])
-    delta = np.abs(bmat[:, :-1] - bmat[:, 1:])  # (n, n-1): j-th pair
-    in_band = (delta >= 180.0 - greedy_variance) & (delta <= 180.0 + greedy_variance)
     j_idx = np.arange(n - 1)
-    intermediate = (in_band & (j_idx[None, :] + 1 < np.arange(n)[:, None])).any(axis=1)
+    intermediate = np.zeros(n, dtype=bool)
+    block = max(1, 4_000_000 // max(n, 1))
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        bmat = bearing(arr[lo:hi, None, :], arr[None, :, :])
+        delta = np.abs(bmat[:, :-1] - bmat[:, 1:])  # (b, n-1): j-th pair
+        in_band = (delta >= 180.0 - greedy_variance) & (delta <= 180.0 + greedy_variance)
+        intermediate[lo:hi] = (
+            in_band & (j_idx[None, :] + 1 < np.arange(lo, hi)[:, None])
+        ).any(axis=1)
 
     fixed: list = [ring[0]]
     for i in range(1, n):

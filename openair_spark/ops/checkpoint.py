@@ -47,7 +47,8 @@ def done_partitions(spark: SparkSession, manifest_path: str) -> set[str]:
 
 
 def dataset_checksum(df: DataFrame) -> int:
-    """Order-insensitive checksum: xor-aggregate of per-row hashes."""
+    """Order-insensitive checksum: wrapping SUM of per-row hashes
+    (sum is commutative, so row order never changes the value)."""
     row = df.select(
         F.coalesce(
             F.expr("cast(sum(cast(hash(*) as bigint)) as bigint)"), F.lit(0)

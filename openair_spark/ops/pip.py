@@ -141,43 +141,52 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
     list [{'polygon_id', 'ring'}] for small sets."""
     spark = points.sparkSession
     resolutions = list(range(min_res, max_res + 1))
+
+    # Materialize the polygon side ONCE. The upstream plan may be an
+    # expensive Arrow parse (pages -> features); without a persist, the
+    # ring-set collect and the cover collect would each re-execute it.
+    polys_persisted = None
     if isinstance(polygons, DataFrame):
-        index_df = polygon_cell_index(polygons, min_res, max_res)
+        polys_persisted = polygons.select("polygon_id", "ring").persist()
+        ring_set = collect_ring_set(polys_persisted)  # first action fills the persist
+        index_pdf = polygon_cell_index(polys_persisted, min_res, max_res).toPandas()
+        polys_persisted.unpersist()
     else:
+        ring_set = RingSet({p["polygon_id"]: np.asarray(p["ring"], dtype=np.float64)
+                            for p in polygons})
         index_pdf = build_cell_index(polygons, min_res, max_res)
-        index_df = spark.createDataFrame(index_pdf, CELL_INDEX_SCHEMA)
 
     # rings travel ONCE as a broadcast variable (unpickled once per
     # python worker, reused across tasks) — candidate rows carry only
     # polygon_id, not the ring JSON, so the Arrow transfer stays
     # ~constant bytes/row and tasks pay no per-task ring-parse cost
-    if isinstance(polygons, DataFrame):
-        ring_set = collect_ring_set(polygons)
-    else:
-        ring_set = RingSet({p["polygon_id"]: np.asarray(p["ring"], dtype=np.float64)
-                            for p in polygons})
     rings_b = spark.sparkContext.broadcast(ring_set)
 
     # the hot path carries an int polygon_idx, never the id string:
     # Arrow string columns dominate kernel-stage CPU (JVM serialize +
     # python object materialization) and anti-scale under local-mode
     # core contention; the id is restored by a broadcast dim join on
-    # the (small) hit set afterwards
+    # the (small) hit set afterwards.
+    # The index is broadcast-scale by contract, so holding it driver-side
+    # costs no more than the broadcast build itself — and a LocalRelation
+    # never re-executes upstream and leaves nothing cached to leak.
     dim = spark.createDataFrame(
         [(i, pid) for i, pid in enumerate(ring_set.ids)],
         "polygon_idx int, polygon_id string")
-    index_small = (
-        index_df.join(F.broadcast(dim), "polygon_id")
-        .select("cell", "polygon_idx", "is_full", "west", "south", "east", "north")
-        .cache()
-    )
+    index_pdf = index_pdf.assign(
+        polygon_idx=index_pdf["polygon_id"].map(ring_set.idx_of).astype("int32")
+    )[["cell", "polygon_idx", "is_full", "west", "south", "east", "north"]]
+    index_small = spark.createDataFrame(
+        index_pdf,
+        "cell long, polygon_idx int, is_full boolean, "
+        "west double, south double, east double, north double")
 
     # probe only resolutions the cover actually uses: small polygons
     # put every cover leaf at max_res, so blindly exploding each point
     # to all res levels multiplies the probe row count for nothing
     used_res = sorted(
-        int(r[0]) for r in index_small.select(
-            F.expr(f"shiftright(cell, {quadkey._RES_SHIFT})").alias("r")).distinct().collect()
+        int(r) for r in
+        np.unique(index_pdf["cell"].to_numpy(dtype=np.int64) >> quadkey._RES_SHIFT)
     )
     resolutions = used_res or resolutions
 
@@ -223,8 +232,24 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
     return hits.join(F.broadcast(dim), "polygon_idx").drop("polygon_idx")
 
 
+def auto_salt(polygon_cells: DataFrame, cap: int = 32) -> int:
+    """Derive the shuffle-salt count from the cell histogram instead of
+    guessing: a (cell, salt) reducer's work scales with the polygons
+    sharing its cell, so the max/median cell occupancy IS the skew
+    factor. One cheap agg over the (already small) polygon-cells side."""
+    row = (
+        polygon_cells.groupBy("cell").agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"),
+             F.expr("percentile_approx(n, 0.5)").alias("med"))
+        .collect()[0]
+    )
+    if row["mx"] is None:
+        return 1
+    return int(max(1, min(cap, round(float(row["mx"]) / max(float(row["med"]), 1.0)))))
+
+
 def pip_join_shuffle(points: DataFrame, polygon_cells: DataFrame,
-                     salt: int = 8, lat_col: str = "lat", lon_col: str = "lon",
+                     salt: int | None = None, lat_col: str = "lat", lon_col: str = "lon",
                      res: int = 7) -> DataFrame:
     """Shuffle-join variant for polygon sets too big to broadcast:
     both sides repartition on (cell, salt); the polygon side is
@@ -238,7 +263,12 @@ def pip_join_shuffle(points: DataFrame, polygon_cells: DataFrame,
     set fit in a broadcast, pip_join is the right operator), so rows
     carry ring_json; a worker-global cache amortizes the JSON parse
     across tasks since python workers are reused.
+
+    salt=None (default) derives the count from the cell histogram
+    (auto_salt); pass an int to pin it.
     """
+    if salt is None:
+        salt = auto_salt(polygon_cells)
     pts = points.withColumn("cell", F.expr(quadkey.sql_cell_expr(lat_col, lon_col, res)))
     pts = pts.withColumn("_salt", F.pmod(F.hash(lon_col, lat_col), F.lit(salt)))
     replicated = polygon_cells.withColumn(

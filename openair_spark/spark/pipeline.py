@@ -38,6 +38,7 @@ FEATURES_SCHEMA = (
     "lower_value double, lower_unit string, lower_datum string, "
     "geometry_type string, ring array<array<double>>, "
     "feature_json string, success boolean, error string, error_line int, "
+    "error_geometry_json string, error_intersections array<array<double>>, "
     "n_warnings int"
 )
 
@@ -60,6 +61,10 @@ def parse_partition(batches: Iterator[pd.DataFrame], config_json: Optional[str] 
         for url, text in zip(pdf["url"], pdf["openair_text"]):
             result = parse_text(text, config, id_seed=url)
             if not result.success:
+                # rich error payload (reference src/parser-error.ts:36-56):
+                # the partial geometry as a LineString + any detected
+                # self-intersection positions travel with the error row
+                err = result.error
                 out.append({
                     "url": url, "airspace_idx": -1, "name": None, "class": None,
                     "type": None,
@@ -67,7 +72,12 @@ def parse_partition(batches: Iterator[pd.DataFrame], config_json: Optional[str] 
                     "lower_value": None, "lower_unit": None, "lower_datum": None,
                     "geometry_type": None, "ring": None, "feature_json": None,
                     "success": False, "error": result.error_message,
-                    "error_line": result.error.line_number,
+                    "error_line": err.line_number,
+                    "error_geometry_json": (
+                        js_json_dumps(err.geometry) if err.geometry is not None else None),
+                    "error_intersections": (
+                        [[float(p[0]), float(p[1])] for p in err.self_intersections]
+                        if err.self_intersections else None),
                     "n_warnings": len(result.warnings),
                 })
                 continue
@@ -89,6 +99,7 @@ def parse_partition(batches: Iterator[pd.DataFrame], config_json: Optional[str] 
                     "ring": [[float(c[0]), float(c[1])] for c in ring],
                     "feature_json": js_json_dumps(feature),
                     "success": True, "error": None, "error_line": None,
+                    "error_geometry_json": None, "error_intersections": None,
                     "n_warnings": len(result.warnings),
                 })
         yield pd.DataFrame(out, columns=[c.split()[0] for c in FEATURES_SCHEMA.split(", ")])
@@ -121,4 +132,5 @@ def feature_collections(features: DataFrame) -> DataFrame:
 
 
 def parse_errors(features: DataFrame) -> DataFrame:
-    return features.where(~F.col("success")).select("url", "error", "error_line")
+    return features.where(~F.col("success")).select(
+        "url", "error", "error_line", "error_geometry_json", "error_intersections")

@@ -95,6 +95,40 @@ def test_knn_cell_local_matches_bruteforce(points, spark):
     assert a == b
 
 
+def test_auto_salt_detects_skew(spark):
+    """A hot cell (many polygons piled on one cell) must raise the
+    derived salt above 1; a uniform cell set must not."""
+    from openair_spark.ops.pip import auto_salt
+
+    skewed = [(0, f"hot{i}", "[]") for i in range(64)]
+    skewed += [(c, f"cold{c}", "[]") for c in range(1, 40)]
+    df = spark.createDataFrame(skewed, "cell long, polygon_id string, ring_json string")
+    assert auto_salt(df) > 1
+
+    uniform = [(c, f"p{c}", "[]") for c in range(40)]
+    df_u = spark.createDataFrame(uniform, "cell long, polygon_id string, ring_json string")
+    assert auto_salt(df_u) == 1
+
+
+def test_knn_rings2_high_latitude_exact(spark):
+    """Regression: the margin's worst-latitude pad must track rings —
+    with rings=2 a fixed 2-cell pad overestimated cos(worst_lat), let
+    high-latitude points skip the brute-force fallback, and missed true
+    neighbors across the lon-shrunken window."""
+    rng = np.random.default_rng(23)
+    cents = [(f"c{i}", float(rng.uniform(78, 86)), float(rng.uniform(-40, 40)))
+             for i in range(60)]
+    centroids = spark.createDataFrame(cents, "centroid_id string, lat double, lon double")
+    pts = [(f"p{i}", float(rng.uniform(79, 85)), float(rng.uniform(-35, 35)))
+           for i in range(300)]
+    points = spark.createDataFrame(pts, "point_id string, lat double, lon double")
+    approx = knn_join(points, centroids, k=3, res=5, rings=2)
+    exact = knn_bruteforce(points, centroids, k=3)
+    a = {(r["point_id"], r["rank"], r["centroid_id"]) for r in approx.collect()}
+    b = {(r["point_id"], r["rank"], r["centroid_id"]) for r in exact.collect()}
+    assert a == b
+
+
 def test_raster_assignment_and_zonal(points, spark):
     pts = points.withColumn("value", F.col("lat") + F.col("lon"))
     tiles = tiles_from_points(pts, res=8, value_col="value").cache()

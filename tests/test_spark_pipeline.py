@@ -122,6 +122,42 @@ def test_spark_native_validation_operators(spark):
     assert sorted(inv[0]["missing_tokens"]) == ["AH", "AL", "AY"]
 
 
+def test_error_payload_surfaces_geometry(spark):
+    """E2 parity (reference src/parser-error.ts:36-56): a failed url's
+    error row must carry the partial-geometry LineString and the
+    detected self-intersection positions."""
+    import datetime
+
+    from openair_spark.spark.corpus import BEGIN_SENTINEL, END_SENTINEL
+
+    text = open("/root/reference/tests/fixtures/self-intersecting.txt").read()
+    page_text = f"noise\n{BEGIN_SENTINEL}\n{text}\n{END_SENTINEL}\ntrailer"
+    pages = spark.createDataFrame(
+        [("https://x.test/a", datetime.datetime(2026, 1, 1), b"", page_text, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    cfg = json.dumps({"version": "1.0"})
+    errs = parse_errors(parse_features(pages, config_json=cfg)).collect()
+    assert len(errs) == 1
+    row = errs[0]
+    assert "intersect" in row["error"]
+    geom = json.loads(row["error_geometry_json"])
+    assert geom["type"] == "LineString" and len(geom["coordinates"]) >= 4
+    assert row["error_intersections"] and all(len(p) == 2 for p in row["error_intersections"])
+
+
+def test_config_value_validation():
+    """Zod-mirror value checks: factory floor geometryDetail>=50
+    (reference src/airspace-factory.ts:44-51), consumeDuplicateBuffer>=0
+    (src/airspace.ts:20-31)."""
+    import pytest as _pytest
+
+    for bad in (dict(geometry_detail=10), dict(consume_duplicate_buffer=-1.0),
+                dict(output_geometry="TRIANGLE"), dict(unlimited=0)):
+        with _pytest.raises(TypeError):
+            ParserConfig.default(**bad)
+    ParserConfig.default(geometry_detail=50)  # boundary accepted
+
+
 def test_feature_collections(pages):
     feats = parse_features(pages)
     fc = feature_collections(feats).collect()
