@@ -16,7 +16,7 @@ stand-in for Iceberg partition values), processes each independently
 and idempotently through ops.checkpoint.run_partitioned, and writes:
 
     <output>/features/partition_id=<b>/   parsed features
-    <output>/tiles/partition_id=<b>/      quadkey/S2/hexgrid covers
+    <output>/tiles/partition_id=<b>/      quadkey/S2/H3 covers
     <output>/manifest_features/           lineage: rows in/out, checksum
     <output>/manifest_tiles/
 

@@ -1,0 +1,905 @@
+"""Bit-compatible H3 cell index from scratch (no h3 library).
+
+Implements the published H3 algorithm (uber/h3, Apache-2.0 — algorithm
+re-derived here, no code copied): icosahedral gnomonic face projection,
+aperture-7 IJK hex math with Class II/III lattice rotation, pentagon
+distortion handling, and the canonical 64-bit cell index layout
+(mode 1, 4-bit res, 7-bit base cell, 15 x 3-bit digits).
+
+What is data vs derived
+-----------------------
+The only tabulated inputs are the 20 icosahedron face centers and the
+per-face Class II i-axis azimuths (published spec constants). Everything
+H3 ships as generated tables — the 122 base cells, the
+(face, ijk) -> (base cell, ccw rotations) lookup, pentagon
+clockwise-offset faces, and the face-neighbor overage transforms — is
+derived at import time from that geometry:
+
+  * base cells = the 122 lattice points of the res-0 Class II grid that
+    lie on/in each face triangle (80 interior + 30 edge midpoints +
+    12 vertices = pentagons); edge/vertex positions project *exactly*
+    equal from every sharing face, which is what makes the derivation
+    well-posed;
+  * H3's base-cell numbering is descending center latitude — verified
+    against published example cells: base cells 0-5, the full pentagon
+    list {4,14,24,38,49,58,63,72,83,97,107,117}, and the
+    latLngToCell example 8928308280fffff (see tests/test_h3.py);
+  * grid-to-grid rotations come from i-axis azimuth differences at the
+    shared cell center (exact multiples of 60 deg away from pentagons);
+  * overage transforms (rotate + translate onto the neighbor face) are
+    solved from the two icosahedron vertices bounding each face edge,
+    where both lattices agree exactly.
+
+Engine surface: `latlng_to_cell` (vectorized, the hot path),
+`cell_to_latlng`, `cell_to_parent` / `cell_to_children` (bit math),
+`grid_disk` (geometric BFS via edge-midpoint probes), `cell_boundary`
+(home-plane hexagon; pentagon boundaries are approximate — documented),
+`is_pentagon`, `cell_to_string`.
+
+North rule: polygons tile into H3 res 5-9 (ops/tiling.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+# ------------------------------------------------------------------ spec data
+
+# icosahedron face centers (lat, lon in radians), H3 orientation
+FACE_CENTER_GEO = np.array([
+    (0.803582649718989942, 1.248397419617396099),
+    (1.307747883455638156, 2.536945009877921159),
+    (1.054751253523952054, -1.347517358900396623),
+    (0.600191595538186799, -0.450603909469755746),
+    (0.491715428198773866, 0.401988202911306943),
+    (0.172745327415618701, 1.678146885280433686),
+    (0.605929321571350690, 2.953923329812411617),
+    (0.427370518328979641, -1.888876200336285401),
+    (-0.079066118549212831, -0.733429513380867741),
+    (-0.230961644455383637, 0.506495587332349035),
+    (0.079066118549212831, 2.408163140208925497),
+    (0.230961644455383637, -2.635097066257444203),
+    (-0.172745327415618701, -1.463445768309359553),
+    (-0.605929321571350690, -0.187669323777381622),
+    (-0.427370518328979641, 1.252716453253507838),
+    (-0.600191595538186799, 2.690988744120037492),
+    (-0.491715428198773866, -2.739604450678486295),
+    (-0.803582649718989942, -1.893195233972397139),
+    (-1.307747883455638156, -0.604647643711872080),
+    (-1.054751253523952054, 1.794075294689396615),
+], dtype=np.float64)
+
+# azimuth (radians, clockwise from north) from each face center to its
+# Class II i-axis; the j/k axes follow at -120 deg steps
+FACE_AXES_AZ_I = np.array([
+    5.619958268523939882, 5.760339081714187279, 0.780213654393430055,
+    0.430469363979999913, 6.130269123335111400, 2.692877706530642877,
+    2.982963003477243874, 3.532912002790141181, 3.494305004259568154,
+    3.003214169499538391, 5.930472956509811562, 0.138378484090254847,
+    0.448714947059150361, 0.158629650112549365, 5.891865957979238535,
+    2.711123289609793325, 3.294508837434268316, 3.804819692245439833,
+    3.664438879055192436, 2.361378999196363184,
+], dtype=np.float64)
+
+M_SQRT7 = 2.6457513110645905905016157536392604257102
+RES0_U_GNOMONIC = 0.38196601125010500003  # res-0 unit length in the gnomonic plane
+M_AP7_ROT_RADS = 0.333473172251832115336090755351601070065900389  # asin(sqrt(3/28))
+M_SIN60 = math.sqrt(3.0) / 2.0
+EPSILON = 1.0e-10
+MAX_RES = 15
+NUM_BASE_CELLS = 122
+
+# index bit layout
+_MODE_CELL = 1
+_RES_OFFSET = 52
+_BC_OFFSET = 45
+_DIGIT_BITS = 3
+
+# digits
+CENTER_DIGIT, K_DIGIT, J_DIGIT, JK_DIGIT, I_DIGIT, IK_DIGIT, IJ_DIGIT = range(7)
+_ROT60_CCW = np.array([0, 5, 3, 1, 6, 4, 2], dtype=np.int64)  # K->IK, J->JK, JK->K, I->IJ, IK->I, IJ->J
+_ROT60_CW = np.array([0, 3, 6, 2, 5, 1, 4], dtype=np.int64)   # K->JK, J->IJ, JK->J, I->IK, IK->K, IJ->I
+# digit -> unit ijk
+_UNIT_IJK = np.array([(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                      (1, 0, 0), (1, 0, 1), (1, 1, 0)], dtype=np.int64)
+
+
+def _geo_to_vec3(lat, lon):
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    return np.stack([np.cos(lat) * np.cos(lon),
+                     np.cos(lat) * np.sin(lon),
+                     np.sin(lat)], axis=-1)
+
+
+FACE_CENTER_V3 = _geo_to_vec3(FACE_CENTER_GEO[:, 0], FACE_CENTER_GEO[:, 1])
+
+
+def _pos_angle(a):
+    t = np.fmod(a, 2.0 * math.pi)
+    return np.where(t < 0, t + 2.0 * math.pi, t)
+
+
+def _geo_azimuth(lat1, lon1, lat2, lon2):
+    return np.arctan2(
+        np.cos(lat2) * np.sin(lon2 - lon1),
+        np.cos(lat1) * np.sin(lat2)
+        - np.sin(lat1) * np.cos(lat2) * np.cos(lon2 - lon1))
+
+
+def _geo_az_distance(lat, lon, az, r):
+    """Point at azimuth az / angular distance r from (lat, lon) (scalar)."""
+    if r < EPSILON:
+        return float(lat), float(lon)
+    slat = math.sin(lat) * math.cos(r) + math.cos(lat) * math.sin(r) * math.cos(az)
+    lat2 = math.asin(max(-1.0, min(1.0, slat)))
+    lon2 = lon + math.atan2(math.sin(az) * math.sin(r) * math.cos(lat),
+                            math.cos(r) - math.sin(lat) * math.sin(lat2))
+    lon2 = math.fmod(lon2 + 3.0 * math.pi, 2.0 * math.pi) - math.pi
+    return lat2, lon2
+
+
+def _ijk_to_hex2d(i, j, k):
+    i2, j2 = i - k, j - k
+    return i2 - 0.5 * j2, j2 * M_SIN60
+
+
+def _hex2d_to_geo(x, y, face: int, res: int):
+    """Inverse gnomonic projection of a hex2d point on `face` at `res`."""
+    r = math.hypot(x, y)
+    if r < EPSILON:
+        return float(FACE_CENTER_GEO[face, 0]), float(FACE_CENTER_GEO[face, 1])
+    theta = math.atan2(y, x)
+    r /= M_SQRT7 ** res
+    r = math.atan(r * RES0_U_GNOMONIC)
+    if res % 2 == 1:
+        theta = theta + M_AP7_ROT_RADS
+    az = float(_pos_angle(FACE_AXES_AZ_I[face] - theta))
+    return _geo_az_distance(FACE_CENTER_GEO[face, 0], FACE_CENTER_GEO[face, 1], az, r)
+
+
+def _normalize_ijk(i, j, k):
+    if i < 0:
+        j -= i; k -= i; i = 0
+    if j < 0:
+        i -= j; k -= j; j = 0
+    if k < 0:
+        i -= k; j -= k; k = 0
+    m = min(i, j, k)
+    return i - m, j - m, k - m
+
+
+def _rotate_ijk_60ccw(i, j, k):
+    # i -> i+j axes, j -> j+k, k -> k+i
+    return _normalize_ijk(i + k, i + j, j + k)
+
+
+def _rotate_ijk_60cw(i, j, k):
+    # i -> i+k axes, j -> i+j, k -> j+k
+    return _normalize_ijk(i + j, j + k, i + k)
+
+
+def _up_ap7(i, j, k):
+    di, dj = i - k, j - k
+    return _normalize_ijk(int(round((3 * di - dj) / 7.0)),
+                          int(round((di + 2 * dj) / 7.0)), 0)
+
+
+def _up_ap7r(i, j, k):
+    di, dj = i - k, j - k
+    return _normalize_ijk(int(round((2 * di + dj) / 7.0)),
+                          int(round((3 * dj - di) / 7.0)), 0)
+
+
+def _down_ap7(i, j, k):
+    # iVec (3,0,1)  jVec (1,3,0)  kVec (0,1,3)
+    return _normalize_ijk(3 * i + j, 3 * j + k, i + 3 * k)
+
+
+def _down_ap7r(i, j, k):
+    # iVec (3,1,0)  jVec (0,3,1)  kVec (1,0,3)
+    return _normalize_ijk(3 * i + k, i + 3 * j, j + 3 * k)
+
+
+def _neighbor_ijk(i, j, k, digit):
+    u = _UNIT_IJK[digit]
+    return _normalize_ijk(i + int(u[0]), j + int(u[1]), k + int(u[2]))
+
+
+# ------------------------------------------------------- derived spec tables
+
+
+def _axis_azimuth(face: int, i: int, j: int, k: int) -> tuple:
+    """(center geo, azimuth of the +i lattice direction at that center)
+    in face's res-0 grid. A small planar step keeps gnomonic distortion
+    out of the azimuth estimate."""
+    x, y = _ijk_to_hex2d(i, j, k)
+    lat, lon = _hex2d_to_geo(x, y, face, 0)
+    dlat, dlon = _hex2d_to_geo(x + 1e-7, y, face, 0)
+    az = float(_geo_azimuth(lat, lon, dlat, dlon))
+    return (lat, lon), az
+
+
+@lru_cache(maxsize=1)
+def _tables():
+    """Derive every generated H3 table from the face geometry, then
+    calibrate the pentagon-position rotations against the inverse.
+
+    Why calibrate: grid-to-grid rotations at hexagon positions are exact
+    multiples of 60 deg (azimuth rounding is unambiguous), but the five
+    faces around an icosahedron vertex sit at 72-deg steps, so a
+    pentagon position's canonical rotation is a convention, not a
+    rounding. The inverse path (home fijk + overage transforms solved at
+    face edges) does not depend on those values, so the forward values
+    are fixed by requiring forward(center(h)) == h over all pentagon
+    descendants to res 3 — the same consistency the published tables
+    encode."""
+    t = _derive()
+    _calibrate_pentagons(t)
+    return t
+
+
+def _derive():
+    """Derive the geometric H3 tables from the face constants."""
+    # --- authoritative res-0 lattice positions per face
+    interior = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    edges = [(1, 1, 0), (0, 1, 1), (1, 0, 1)]
+    verts = [(2, 0, 0), (0, 2, 0), (0, 0, 2)]
+
+    auth = {}  # rounded-vec3 key -> dict(lat, lon, members)
+    for f in range(20):
+        for ijk in interior + edges + verts:
+            (lat, lon), _ = _axis_azimuth(f, *ijk)
+            v = _geo_to_vec3(lat, lon)
+            key = tuple(np.round(v, 6))
+            entry = auth.setdefault(key, {"lat": lat, "lon": lon, "members": []})
+            entry["members"].append((f, *ijk))
+    assert len(auth) == NUM_BASE_CELLS, len(auth)
+
+    # --- H3 numbering: descending center latitude
+    cells = sorted(auth.values(), key=lambda c: (-c["lat"], c["lon"]))
+    cell_v3 = np.stack([np.asarray(_geo_to_vec3(c["lat"], c["lon"])) for c in cells])
+    is_pent = np.array([len(c["members"]) >= 5 for c in cells], dtype=bool)
+    home = []  # (face, i, j, k) canonical home position
+    for c in cells:
+        if len(c["members"]) >= 5:
+            # pentagon: home must see the vertex at the I corner (2,0,0) —
+            # the overage special case rotates about origin (maxDim,0,0),
+            # i.e. that corner. Lowest qualifying face (bc 4 -> face 0,
+            # matching the published table).
+            icorner = sorted(m for m in c["members"] if m[1:] == (2, 0, 0))
+            home.append(icorner[0])
+        else:
+            home.append(sorted(c["members"])[0])
+
+    # --- (face, normalized ijk<=2) -> (base cell, ccw rotations to home frame)
+    base_cell_of = {}
+    ccw_rot_of = {}
+    home_az = {}  # base cell -> i-axis azimuth at center in home frame
+    for bc, (f0, i0, j0, k0) in enumerate(home):
+        _, az = _axis_azimuth(f0, i0, j0, k0)
+        home_az[bc] = az
+    cw_offset = {bc: set() for bc in range(NUM_BASE_CELLS) if is_pent[bc]}
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    if min(i, j, k) != 0:
+                        continue
+                    (lat, lon), az_f = _axis_azimuth(f, i, j, k)
+                    v = np.asarray(_geo_to_vec3(lat, lon))
+                    bc = int(np.argmax(cell_v3 @ v))
+                    # ccw rotations taking face-f digit coords to home frame:
+                    # theta_home = theta_face + (az_home - az_face)
+                    diff = float(_pos_angle(home_az[bc] - az_f))
+                    rot = int(round(diff / (math.pi / 3.0)))
+                    resid = diff - rot * (math.pi / 3.0)
+                    rot %= 6
+                    base_cell_of[(f, i, j, k)] = bc
+                    ccw_rot_of[(f, i, j, k)] = rot
+                    if is_pent[bc] and abs(resid) > 1e-3 and resid < 0:
+                        # pentagon grids sit at 72-degree steps; faces whose
+                        # best 60-degree alignment is clockwise-short are the
+                        # "clockwise offset" faces of the pentagon
+                        cw_offset[bc].add(f)
+
+    # --- face neighbors (overage transforms), per IJ/KI/JK quadrant.
+    # Solve rotate+translate from the two icosahedron vertices bounding
+    # the quadrant's edge (both lattices agree exactly at vertices).
+    vert_pos = {}  # rounded vec3 of each face's 3 vertices
+    for f in range(20):
+        for ijk in verts:
+            (lat, lon), _ = _axis_azimuth(f, *ijk)
+            vert_pos[(f, ijk)] = tuple(np.round(np.asarray(_geo_to_vec3(lat, lon)), 6))
+
+    quadrant_edges = {  # quadrant index (uber: 1=IJ, 2=KI, 3=JK) -> vertex pair
+        1: ((2, 0, 0), (0, 2, 0)),
+        2: ((0, 0, 2), (2, 0, 0)),
+        3: ((0, 2, 0), (0, 0, 2)),
+    }
+    face_neighbors = {}
+    for f in range(20):
+        for quad, (va, vb) in quadrant_edges.items():
+            ka, kb = vert_pos[(f, va)], vert_pos[(f, vb)]
+            # the other face sharing both vertices
+            g = next(g2 for g2 in range(20) if g2 != f
+                     and any(vert_pos[(g2, w)] == ka for w in verts)
+                     and any(vert_pos[(g2, w)] == kb for w in verts))
+            va_g = next(w for w in verts if vert_pos[(g, w)] == ka)
+            vb_g = next(w for w in verts if vert_pos[(g, w)] == kb)
+            # rotation f-grid -> g-grid at the edge midpoint
+            mx = tuple((np.array(va) + np.array(vb)) // 2)
+            _, az_f = _axis_azimuth(f, *mx)
+            my = tuple((np.array(va_g) + np.array(vb_g)) // 2)
+            _, az_g = _axis_azimuth(g, *my)
+            rot = int(round(float(_pos_angle(az_g - az_f)) / (math.pi / 3.0))) % 6
+            # translate: coords_g(V) = R^rot coords_f(V) + T  (unit res-0 scale)
+            ra = va
+            for _ in range(rot):
+                ra = _rotate_ijk_60ccw(*ra)
+            t = (va_g[0] - ra[0], va_g[1] - ra[1], va_g[2] - ra[2])
+            rb = vb
+            for _ in range(rot):
+                rb = _rotate_ijk_60ccw(*rb)
+            check = (rb[0] + t[0], rb[1] + t[1], rb[2] + t[2])
+            assert _normalize_ijk(*check) == _normalize_ijk(*vb_g), (f, quad)
+            face_neighbors[(f, quad)] = (g, t, rot)
+
+    centers_geo = [(c["lat"], c["lon"]) for c in cells]
+    return {
+        "is_pent": is_pent,
+        "home": home,
+        "base_cell_of": base_cell_of,
+        "ccw_rot_of": ccw_rot_of,
+        "cw_offset": cw_offset,
+        "face_neighbors": face_neighbors,
+        "centers_geo": centers_geo,
+    }
+
+
+def _calibrate_pentagons(t):
+    """Fix pentagon-position forward rotations + cw-offset flags by
+    roundtrip consistency against the (table-independent) inverse."""
+    pent_bcs = [bc for bc in range(NUM_BASE_CELLS) if t["is_pent"][bc]]
+    vlut = _vector_tables(t)
+
+    def descendants(bc, max_res):
+        """All cell ids of base cell bc up to max_res (K-spine skipped)."""
+        out = []
+
+        def expand(digs, on_spine):
+            r = len(digs)
+            h = (1 << 59) | (r << _RES_OFFSET) | (bc << _BC_OFFSET) | ((1 << 45) - 1)
+            for rr, d in enumerate(digs, start=1):
+                h = _set_digit(h, rr, d)
+            out.append(h)
+            if r == max_res:
+                return
+            for d in range(7):
+                if on_spine and d == K_DIGIT:
+                    continue
+                expand(digs + [d], on_spine and d == 0)
+
+        expand([], True)
+        return out
+
+    for bc in pent_bcs:
+        home_f = t["home"][bc][0]
+        ids = descendants(bc, 3)
+        # decode every descendant once with the calibration-independent inverse
+        probes = []  # (h, face_of_center, lat, lon)
+        for h in ids:
+            f, i, j, k, res = _h3_to_face_ijk(h, t)
+            x, y = _ijk_to_hex2d(i, j, k)
+            lat, lon = _hex2d_to_geo(x, y, f, res)
+            v = np.asarray(_geo_to_vec3(lat, lon))
+            dots = FACE_CENTER_V3 @ v
+            order = np.argsort(dots)
+            if dots[order[-1]] - dots[order[-2]] < 1e-9:
+                continue  # center on a face seam: face choice ambiguous
+            probes.append((h, int(order[-1]),
+                           math.degrees(lat), math.degrees(lon)))
+        member_faces = sorted({p[1] for p in probes})
+        for f in member_faces:
+            sub = [p for p in probes if p[1] == f]
+            lats = np.array([p[2] for p in sub])
+            lons = np.array([p[3] for p in sub])
+            targets = {r: np.array([p[0] for p in sub
+                                    if get_resolution(p[0]) == r], dtype=np.int64)
+                       for r in (1, 2, 3)}
+            vtx = next((i, j, k) for (ff, i, j, k), b in t["base_cell_of"].items()
+                       if ff == f and b == bc)
+            best = None
+            for rot in range(6):
+                for cw in (False, True):
+                    t["ccw_rot_of"][(f, *vtx)] = rot
+                    if cw:
+                        t["cw_offset"][bc].add(f)
+                    else:
+                        t["cw_offset"][bc].discard(f)
+                    vlut = _vector_tables(t)
+                    n_ok = 0
+                    for r in (1, 2, 3):
+                        mask = np.array([get_resolution(p[0]) == r for p in sub])
+                        if not mask.any():
+                            continue
+                        got = latlng_to_cell(lats[mask], lons[mask], r, _vlut=vlut)
+                        n_ok += int((got == targets[r]).sum())
+                    if best is None or n_ok > best[0]:
+                        best = (n_ok, rot, cw)
+            n_ok, rot, cw = best
+            if n_ok != len(sub):
+                raise AssertionError(
+                    f"pentagon calibration failed: bc {bc} face {f}: "
+                    f"{n_ok}/{len(sub)}")
+            t["ccw_rot_of"][(f, *vtx)] = rot
+            if cw:
+                t["cw_offset"][bc].add(f)
+            else:
+                t["cw_offset"][bc].discard(f)
+            assert (f == home_f) == (rot == 0 and not cw) or f != home_f
+
+
+def _vector_tables(t):
+    """Flat numpy lookups for the vectorized forward path."""
+    bc_lut = np.full((20, 3, 3, 3), -1, dtype=np.int64)
+    rot_lut = np.zeros((20, 3, 3, 3), dtype=np.int64)
+    for (f, i, j, k), bc in t["base_cell_of"].items():
+        bc_lut[f, i, j, k] = bc
+        rot_lut[f, i, j, k] = t["ccw_rot_of"][(f, i, j, k)]
+    pent_lut = t["is_pent"]
+    cw_lut = np.zeros((NUM_BASE_CELLS, 20), dtype=bool)
+    for bc, faces in t["cw_offset"].items():
+        for f in faces:
+            cw_lut[bc, f] = True
+    return bc_lut, rot_lut, pent_lut, cw_lut
+
+
+_VLUT = None
+
+
+def _get_vlut():
+    global _VLUT
+    if _VLUT is None:
+        _VLUT = _vector_tables(_tables())
+    return _VLUT
+
+
+# ------------------------------------------------------------- forward path
+
+
+def _hex2d_to_ijk_arrays(x, y):
+    """Vectorized uber _hex2dToCoordIJK (axes rounding cascade)."""
+    a1, a2 = np.abs(x), np.abs(y)
+    x2 = a2 / M_SIN60
+    x1 = a1 + x2 / 2.0
+    m1 = x1.astype(np.int64)
+    m2 = x2.astype(np.int64)
+    r1 = x1 - m1
+    r2 = x2 - m2
+    i = np.empty_like(m1)
+    j = np.empty_like(m2)
+
+    c1 = r1 < 0.5
+    c2 = r1 < (1.0 / 3.0)
+    # r1 < 1/3
+    b = c1 & c2
+    jb = np.where(r2 < (1.0 + r1) / 2.0, m2, m2 + 1)
+    i = np.where(b, m1, 0)
+    j = np.where(b, jb, 0)
+    # 1/3 <= r1 < 1/2
+    b = c1 & ~c2
+    jb = np.where(r2 < (1.0 - r1), m2, m2 + 1)
+    ib = np.where(((1.0 - r1) <= r2) & (r2 < (2.0 * r1)), m1 + 1, m1)
+    i = np.where(b, ib, i)
+    j = np.where(b, jb, j)
+    # 1/2 <= r1 < 2/3
+    c3 = r1 < (2.0 / 3.0)
+    b = ~c1 & c3
+    jb = np.where(r2 < (1.0 - r1), m2, m2 + 1)
+    ib = np.where(((2.0 * r1 - 1.0) < r2) & (r2 < (1.0 - r1)), m1, m1 + 1)
+    i = np.where(b, ib, i)
+    j = np.where(b, jb, j)
+    # r1 >= 2/3
+    b = ~c1 & ~c3
+    jb = np.where(r2 < (r1 / 2.0), m2, m2 + 1)
+    i = np.where(b, m1 + 1, i)
+    j = np.where(b, jb, j)
+
+    # fold negative axes
+    neg_x = x < 0.0
+    j_even = (j % 2) == 0
+    axisi = np.where(j_even, j // 2, (j + 1) // 2)
+    diff = i - axisi
+    i = np.where(neg_x, i - (2 * diff + np.where(j_even, 0, 1)), i)
+    neg_y = y < 0.0
+    i = np.where(neg_y, i - (2 * j + 1) // 2, i)
+    j = np.where(neg_y, -j, j)
+    k = np.zeros_like(i)
+    return _normalize_ijk_arrays(i, j, k)
+
+
+def _normalize_ijk_arrays(i, j, k):
+    neg = i < 0
+    j = j - np.where(neg, i, 0)
+    k = k - np.where(neg, i, 0)
+    i = np.where(neg, 0, i)
+    neg = j < 0
+    i = i - np.where(neg, j, 0)
+    k = k - np.where(neg, j, 0)
+    j = np.where(neg, 0, j)
+    neg = k < 0
+    i = i - np.where(neg, k, 0)
+    j = j - np.where(neg, k, 0)
+    k = np.where(neg, 0, k)
+    m = np.minimum(np.minimum(i, j), k)
+    return i - m, j - m, k - m
+
+
+def _up_ap7_arrays(i, j, k):
+    di, dj = (i - k).astype(np.float64), (j - k).astype(np.float64)
+    ni = np.round((3.0 * di - dj) / 7.0).astype(np.int64)
+    nj = np.round((di + 2.0 * dj) / 7.0).astype(np.int64)
+    return _normalize_ijk_arrays(ni, nj, np.zeros_like(ni))
+
+
+def _up_ap7r_arrays(i, j, k):
+    di, dj = (i - k).astype(np.float64), (j - k).astype(np.float64)
+    ni = np.round((2.0 * di + dj) / 7.0).astype(np.int64)
+    nj = np.round((3.0 * dj - di) / 7.0).astype(np.int64)
+    return _normalize_ijk_arrays(ni, nj, np.zeros_like(ni))
+
+
+def _down_ap7_arrays(i, j, k):
+    return _normalize_ijk_arrays(3 * i + j, 3 * j + k, i + 3 * k)
+
+
+def _down_ap7r_arrays(i, j, k):
+    return _normalize_ijk_arrays(3 * i + k, i + 3 * j, j + 3 * k)
+
+
+def latlng_to_cell(lat, lon, res: int, _vlut=None):
+    """Vectorized geo (degrees) -> H3 cell id at `res` (int64 array).
+
+    The published algorithm: gnomonic projection on the closest
+    icosahedron face, hex2d rounding to IJK, aperture-7 ancestor chain
+    extracting one digit per resolution, base-cell lookup, canonical
+    rotation (with pentagon K-subsequence handling)."""
+    if not (0 <= res <= MAX_RES):
+        raise ValueError(f"res out of range: {res}")
+    bc_lut, rot_lut, pent_lut, cw_lut = _vlut if _vlut is not None else _get_vlut()
+
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    scalar = lat_r.ndim == 0
+    lat_r = np.atleast_1d(lat_r)
+    lon_r = np.atleast_1d(lon_r)
+
+    v = _geo_to_vec3(lat_r, lon_r)                       # (n, 3)
+    dots = v @ FACE_CENTER_V3.T                          # (n, 20)
+    face = np.argmax(dots, axis=1)
+    best = np.clip(dots[np.arange(len(face)), face], -1.0, 1.0)
+    r = np.arccos(best)                                  # angular distance
+
+    az_c = _geo_azimuth(FACE_CENTER_GEO[face, 0], FACE_CENTER_GEO[face, 1],
+                        lat_r, lon_r)
+    theta = _pos_angle(FACE_AXES_AZ_I[face] - _pos_angle(az_c))
+    if res % 2 == 1:
+        theta = _pos_angle(theta - M_AP7_ROT_RADS)
+    rp = np.where(r < EPSILON, 0.0, np.tan(r))
+    rp = rp / RES0_U_GNOMONIC * (M_SQRT7 ** res)
+    x = rp * np.cos(theta)
+    y = rp * np.sin(theta)
+    x = np.where(r < EPSILON, 0.0, x)
+    y = np.where(r < EPSILON, 0.0, y)
+
+    i, j, k = _hex2d_to_ijk_arrays(x, y)
+
+    # digit extraction, res -> 1
+    digits = np.zeros((len(face), MAX_RES + 1), dtype=np.int64)  # 1-indexed by r
+    for rr in range(res - 1, -1, -1):
+        li, lj, lk = i, j, k
+        if (rr + 1) % 2 == 1:  # Class III
+            i, j, k = _up_ap7_arrays(i, j, k)
+            ci, cj, ck = _down_ap7_arrays(i, j, k)
+        else:
+            i, j, k = _up_ap7r_arrays(i, j, k)
+            ci, cj, ck = _down_ap7r_arrays(i, j, k)
+        di, dj, dk = _normalize_ijk_arrays(li - ci, lj - cj, lk - ck)
+        digits[:, rr + 1] = di * 4 + dj * 2 + dk
+
+    bc = bc_lut[face, i, j, k]
+    if np.any(bc < 0):
+        raise AssertionError("base cell lookup out of range")
+    num_rots = rot_lut[face, i, j, k]
+    pent = pent_lut[bc]
+
+    dig = digits[:, 1:res + 1] if res > 0 else np.zeros((len(face), 0), dtype=np.int64)
+
+    def leading_nonzero(d):
+        nz = d != 0
+        first = np.argmax(nz, axis=1)
+        has = nz.any(axis=1)
+        lead = np.where(has, d[np.arange(len(d)), first], 0)
+        return lead
+
+    if res > 0:
+        # pentagon K-subsequence: rotate once out of the missing k-axes
+        lead = leading_nonzero(dig)
+        mask_k = pent & (lead == K_DIGIT)
+        if mask_k.any():
+            cw = cw_lut[bc, face] & mask_k
+            ccw = mask_k & ~cw_lut[bc, face]
+            dig[cw] = _ROT60_CW[dig[cw]]
+            dig[ccw] = _ROT60_CCW[dig[ccw]]
+        # canonical rotations
+        for _ in range(5):
+            todo = num_rots > 0
+            if not todo.any():
+                break
+            hexr = todo & ~pent
+            dig[hexr] = _ROT60_CCW[dig[hexr]]
+            pr = todo & pent
+            if pr.any():
+                dig[pr] = _ROT60_CCW[dig[pr]]
+                lead = leading_nonzero(dig)
+                fix = pr & (lead == K_DIGIT)
+                dig[fix] = _ROT60_CCW[dig[fix]]
+            num_rots = num_rots - todo.astype(np.int64)
+
+    # pack
+    h = np.full(len(face), (1 << 45) - 1, dtype=np.uint64)  # all digits 7
+    h |= np.uint64(_MODE_CELL) << np.uint64(59)
+    h |= np.uint64(res) << np.uint64(_RES_OFFSET)
+    h |= bc.astype(np.uint64) << np.uint64(_BC_OFFSET)
+    for rr in range(1, res + 1):
+        shift = np.uint64(_DIGIT_BITS * (MAX_RES - rr))
+        h &= ~(np.uint64(7) << shift)
+        h |= dig[:, rr - 1].astype(np.uint64) << shift
+    out = h.astype(np.int64)
+    return int(out[0]) if scalar else out
+
+
+# ---------------------------------------------------------------- bit helpers
+
+
+def get_resolution(h: int) -> int:
+    return (int(h) >> _RES_OFFSET) & 0xF
+
+
+def get_base_cell(h: int) -> int:
+    return (int(h) >> _BC_OFFSET) & 0x7F
+
+
+def _get_digit(h: int, r: int) -> int:
+    return (int(h) >> (_DIGIT_BITS * (MAX_RES - r))) & 7
+
+
+def _set_digit(h: int, r: int, d: int) -> int:
+    shift = _DIGIT_BITS * (MAX_RES - r)
+    return (int(h) & ~(7 << shift)) | (d << shift)
+
+
+def is_pentagon(h: int) -> bool:
+    t = _tables()
+    if not t["is_pent"][get_base_cell(h)]:
+        return False
+    return _leading_nonzero(h) == 0
+
+
+def _leading_nonzero(h: int) -> int:
+    for r in range(1, get_resolution(h) + 1):
+        d = _get_digit(h, r)
+        if d:
+            return d
+    return 0
+
+
+def _rotate60(h: int, lut) -> int:
+    for r in range(1, get_resolution(h) + 1):
+        h = _set_digit(h, r, int(lut[_get_digit(h, r)]))
+    return h
+
+
+def cell_to_parent(h: int, parent_res: int) -> int:
+    res = get_resolution(h)
+    if parent_res > res or parent_res < 0:
+        raise ValueError("invalid parent res")
+    out = (int(h) & ~(0xF << _RES_OFFSET)) | (parent_res << _RES_OFFSET)
+    for r in range(parent_res + 1, res + 1):
+        out = _set_digit(out, r, 7)
+    return out
+
+
+def cell_to_children(h: int, child_res: int) -> list:
+    res = get_resolution(h)
+    if child_res < res:
+        raise ValueError("invalid child res")
+    if child_res == res:
+        return [int(h)]
+    base = (int(h) & ~(0xF << _RES_OFFSET)) | (child_res << _RES_OFFSET)
+    out = []
+    pent = is_pentagon(h)
+
+    def expand(cur, r, on_pent_spine):
+        if r > child_res:
+            out.append(cur)
+            return
+        for d in range(7):
+            if on_pent_spine and d == K_DIGIT:
+                continue  # pentagons have no K subsequence
+            expand(_set_digit(cur, r, d), r + 1, on_pent_spine and d == 0)
+
+    expand(base, res + 1, pent)
+    return out
+
+
+def cell_to_center_child(h: int, child_res: int) -> int:
+    res = get_resolution(h)
+    out = (int(h) & ~(0xF << _RES_OFFSET)) | (child_res << _RES_OFFSET)
+    for r in range(res + 1, child_res + 1):
+        out = _set_digit(out, r, 0)
+    return out
+
+
+# ---------------------------------------------------------------- inverse
+
+
+_QUAD_IJ, _QUAD_KI, _QUAD_JK = 1, 2, 3
+
+
+def _adjust_overage_class_ii(face, i, j, k, res, pent_leading_4, t=None):
+    """Move coordinates that overflowed the face onto the neighbor face
+    (published overage algorithm; transforms derived, see _tables)."""
+    if t is None:
+        t = _tables()
+    max_dim = 2 * 7 ** (res // 2)
+    if i + j + k <= max_dim:
+        return False, face, i, j, k
+    if k > 0:
+        if j > 0:
+            quad = _QUAD_JK
+        else:
+            quad = _QUAD_KI
+            if pent_leading_4:
+                # rotate out of the deleted k-axes subsequence: translate
+                # the i-vertex to the origin, rotate 60 cw, translate back
+                oi, oj, ok = max_dim, 0, 0
+                di, dj, dk = _rotate_ijk_60cw(i - oi, j - oj, k - ok)
+                i, j, k = di + oi, dj + oj, dk + ok
+    else:
+        quad = _QUAD_IJ
+    g, trans, rot = t["face_neighbors"][(face, quad)]
+    for _ in range(rot):
+        # raw ccw rotation (no normalize: keep sum geometry)
+        i, j, k = i + k, i + j, j + k
+        m = min(i, j, k)
+        i, j, k = i - m, j - m, k - m
+    unit = 7 ** (res // 2)
+    i, j, k = i + trans[0] * unit, j + trans[1] * unit, k + trans[2] * unit
+    i, j, k = _normalize_ijk(i, j, k)
+    return True, g, i, j, k
+
+
+def _h3_to_face_ijk(h: int, t=None):
+    """(face, i, j, k, res_adj) — res_adj is the Class II resolution the
+    coordinates are expressed in (res or res+1 for Class III)."""
+    if t is None:
+        t = _tables()
+    bc = get_base_cell(h)
+    res = get_resolution(h)
+    if t["is_pent"][bc] and _leading_nonzero(h) == 5:
+        h = _rotate60(h, _ROT60_CW)
+    f, i, j, k = t["home"][bc]
+    possible_overage = True
+    if not t["is_pent"][bc] and (res == 0 or (i == 0 and j == 0 and k == 0)):
+        possible_overage = False
+    for r in range(1, res + 1):
+        if r % 2 == 1:
+            i, j, k = _down_ap7(i, j, k)
+        else:
+            i, j, k = _down_ap7r(i, j, k)
+        i, j, k = _neighbor_ijk(i, j, k, _get_digit(h, r))
+    if not possible_overage:
+        return f, i, j, k, res
+    orig = (i, j, k)
+    res_adj = res
+    if res % 2 == 1:
+        i, j, k = _down_ap7r(i, j, k)
+        res_adj = res + 1
+    pent_leading_4 = t["is_pent"][bc] and _leading_nonzero(h) == 4
+    moved, f, i, j, k = _adjust_overage_class_ii(f, i, j, k, res_adj, pent_leading_4, t)
+    if moved:
+        if t["is_pent"][bc]:
+            while True:
+                again, f, i, j, k = _adjust_overage_class_ii(f, i, j, k, res_adj, False, t)
+                if not again:
+                    break
+        if res_adj != res:
+            i, j, k = _up_ap7r(i, j, k)
+            res_adj = res
+    else:
+        if res_adj != res:
+            i, j, k = orig
+            res_adj = res
+    return f, i, j, k, res_adj
+
+
+def cell_to_latlng(h: int) -> tuple:
+    """Cell center (lat, lon degrees)."""
+    f, i, j, k, res = _h3_to_face_ijk(h)
+    x, y = _ijk_to_hex2d(i, j, k)
+    lat, lon = _hex2d_to_geo(x, y, f, res)
+    return math.degrees(lat), math.degrees(lon)
+
+
+def cell_boundary(h: int) -> list:
+    """Approximate boundary vertices [(lon, lat) degrees].
+
+    Vertices are the hexagon corners in the center's face plane (Class
+    III lattices included); cells crossing an icosahedron edge and the
+    12 pentagons get slightly approximate corners (the published
+    algorithm re-projects each vertex on its own face via a substrate
+    grid) — adequate for neighbor probing and diagnostics, documented
+    divergence."""
+    f, i, j, k, res = _h3_to_face_ijk(h)
+    x, y = _ijk_to_hex2d(i, j, k)
+    rot = M_AP7_ROT_RADS if res % 2 == 1 else 0.0
+    out = []
+    rad = 1.0 / math.sqrt(3.0)
+    for c in range(6):
+        ang = math.pi / 6.0 + c * math.pi / 3.0 - rot
+        vx = x + rad * math.cos(ang)
+        vy = y + rad * math.sin(ang)
+        lat, lon = _hex2d_to_geo(vx, vy, f, res)
+        out.append([math.degrees(lon), math.degrees(lat)])
+    return out
+
+
+def grid_neighbors(h: int) -> list:
+    """Edge neighbors via lattice-step probes in the center's face plane
+    (a geometric formulation of gridDisk ring 1; pentagons return 5)."""
+    f, i, j, k, res = _h3_to_face_ijk(h)
+    x, y = _ijk_to_hex2d(i, j, k)
+    rot = M_AP7_ROT_RADS if res % 2 == 1 else 0.0
+    out = []
+    for c in range(6):
+        ang = c * math.pi / 3.0 - rot
+        lat, lon = _hex2d_to_geo(x + math.cos(ang), y + math.sin(ang), f, res)
+        n = int(latlng_to_cell(math.degrees(lat), math.degrees(lon),
+                               get_resolution(h)))
+        if n != int(h) and n not in out:
+            out.append(n)
+    return out
+
+
+def grid_disk(h: int, k: int = 1) -> list:
+    """All cells within grid distance k (BFS over grid_neighbors)."""
+    seen = {int(h)}
+    frontier = [int(h)]
+    for _ in range(k):
+        nxt = []
+        for cell in frontier:
+            for n in grid_neighbors(cell):
+                if n not in seen:
+                    seen.add(n)
+                    nxt.append(n)
+        frontier = nxt
+    return sorted(seen)
+
+
+def cell_to_string(h: int) -> str:
+    return format(int(h) & 0xFFFFFFFFFFFFFFFF, "x")
+
+
+def string_to_cell(s: str) -> int:
+    return int(s, 16)
+
+
+def base_cell_centers() -> list:
+    """(lat, lon) degrees of the 122 base cells, index = base cell number."""
+    return [(math.degrees(la), math.degrees(lo))
+            for la, lo in _tables()["centers_geo"]]

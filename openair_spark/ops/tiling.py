@@ -12,11 +12,12 @@ Each cover cell row carries all three index families:
   - `cell`     quadkey compact-cover cell (drives the PIP/raster joins,
                SQL-expressible key: index/quadkey.sql_cell_expr)
   - `s2_cell`  S2 cell id at an equivalent level, from the cell center
-  - `hex_cell` aperture-7 hexgrid cell at an equivalent res
+  - `h3_cell`  bit-compatible H3 cell (res 5-9) of the cell center
 
-S2/hex ids are derived per cover cell center (not independent covers):
+S2/H3 ids are derived per cover cell center (not independent covers):
 the quadkey cover is the geometric superset; the sibling ids give
-cross-index join keys at matching granularity.
+cross-index join keys. An independent true-H3 compact cover is the
+separate operator ops.h3tiles.h3_polygon_tiles.
 """
 
 from __future__ import annotations
@@ -28,18 +29,18 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from ..index import hexgrid, quadkey, s2
+from ..index import h3, quadkey, s2
 from ..index.cover import compact_cover
 
 TILES_SCHEMA = (
     "url string, airspace_idx int, cell long, res int, is_full boolean, "
-    "s2_cell long, s2_token string, hex_cell long"
+    "s2_cell long, s2_token string, h3_cell long, h3_res int"
 )
 
-# quadkey res r has cell width 360/2^r deg; pick the S2 level / hex res
-# with the closest cell scale
+# quadkey res r has cell width 360/2^r deg; pick the S2 level with the
+# closest cell scale; H3 rides the north rule's res 5-9 band
 _S2_LEVEL_FOR_RES = {r: r + 1 for r in range(0, 28)}
-_HEX_RES_FOR_RES = {r: min(max(r - 2, 0), 9) for r in range(0, 28)}
+_H3_RES_FOR_RES = {r: min(max(r, 5), 9) for r in range(0, 28)}
 
 
 def _tile_kernel(batches: Iterator[pd.DataFrame], min_res: int, max_res: int
@@ -62,9 +63,18 @@ def _tile_kernel(batches: Iterator[pd.DataFrame], min_res: int, max_res: int
                     "res": res, "is_full": bool(is_full),
                     "s2_cell": s2c,
                     "s2_token": s2.cell_token(s2c),
-                    "hex_cell": int(hexgrid.cell_id(clat, clon, _HEX_RES_FOR_RES[res])),
+                    "h3_cell": 0, "h3_res": _H3_RES_FOR_RES[res],
+                    "_clat": clat, "_clon": clon,
                 })
-        yield pd.DataFrame(out, columns=cols)
+        pdf_out = pd.DataFrame(out, columns=cols + ["_clat", "_clon"])
+        if len(pdf_out):
+            # one vectorized H3 encode per res present in the batch
+            for h3_res in pdf_out["h3_res"].unique():
+                m = pdf_out["h3_res"] == h3_res
+                pdf_out.loc[m, "h3_cell"] = h3.latlng_to_cell(
+                    pdf_out.loc[m, "_clat"].to_numpy(),
+                    pdf_out.loc[m, "_clon"].to_numpy(), int(h3_res))
+        yield pdf_out[cols]
 
 
 def polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9) -> DataFrame:

@@ -1,0 +1,138 @@
+"""H3 index tests: published known-value anchors, roundtrip exactness,
+hierarchy and pentagon properties.
+
+Known values come from the public H3 documentation examples (uber/h3):
+the latLngToCell quickstart cell, its res-8 parent, its gridDisk ring,
+and the pentagon base-cell list.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from openair_spark.index import h3
+
+SF_LAT, SF_LNG = 37.7752702151959257, -122.4183682373046875
+SF_CELL_9 = 0x8928308280FFFFF
+PENTAGONS = [4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]
+
+
+def test_known_value_latlng_to_cell():
+    assert int(h3.latlng_to_cell(SF_LAT, SF_LNG, 9)) == SF_CELL_9
+    assert h3.cell_to_string(SF_CELL_9) == "8928308280fffff"
+
+
+def test_known_value_cell_to_latlng():
+    lat, lng = h3.cell_to_latlng(SF_CELL_9)
+    assert abs(lat - 37.77670234943567) < 1e-12
+    assert abs(lng - -122.41845932318311) < 1e-12
+
+
+def test_known_value_parent():
+    assert h3.cell_to_string(h3.cell_to_parent(SF_CELL_9, 8)) == "8828308281fffff"
+
+
+def test_known_value_grid_disk():
+    expected = sorted(int(s, 16) for s in [
+        "8928308280fffff", "8928308280bffff", "89283082807ffff",
+        "89283082877ffff", "89283082803ffff", "89283082873ffff",
+        "8928308283bffff"])
+    assert sorted(h3.grid_disk(SF_CELL_9, 1)) == expected
+
+
+def test_pentagon_base_cells():
+    t = h3._tables()
+    assert [bc for bc in range(122) if t["is_pent"][bc]] == PENTAGONS
+
+
+def test_base_cell_centers_roundtrip():
+    for bc, (lat, lng) in enumerate(h3.base_cell_centers()):
+        cell = int(h3.latlng_to_cell(lat, lng, 0))
+        assert h3.get_base_cell(cell) == bc
+        assert h3.get_resolution(cell) == 0
+
+
+@pytest.mark.parametrize("res", [0, 1, 2, 4, 5, 8, 9])
+def test_roundtrip_center_identity(res):
+    """cellToLatLng -> latLngToCell is the identity for every cell —
+    including pentagon regions and cells crossing icosahedron edges."""
+    rng = np.random.default_rng(7)
+    n = 3000
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lon = rng.uniform(-180, 180, n)
+    cells = np.unique(h3.latlng_to_cell(lat, lon, res))[:800]
+    for c in cells:
+        la, lo = h3.cell_to_latlng(int(c))
+        assert int(h3.latlng_to_cell(la, lo, res)) == int(c)
+
+
+def test_parent_child_closure():
+    parent = h3.cell_to_parent(SF_CELL_9, 6)
+    kids = h3.cell_to_children(parent, 8)
+    assert len(kids) == 49
+    for c in kids:
+        assert h3.cell_to_parent(c, 6) == parent
+    assert h3.cell_to_center_child(parent, 8) in kids
+
+
+def test_pentagon_children_and_disk():
+    pent = (1 << 59) | (4 << 45) | ((1 << 45) - 1)  # res-0 pentagon bc 4
+    assert h3.is_pentagon(pent)
+    kids1 = h3.cell_to_children(pent, 1)
+    assert len(kids1) == 6  # pentagons lose the K child
+    assert len(h3.cell_to_children(pent, 2)) == 41  # 6 + 5*7
+    assert len(h3.grid_disk(pent, 1)) == 6  # self + 5 neighbors
+    # the 5 non-center children surround the vertex at uniform 72 deg
+    vlat, vlng = h3.cell_to_latlng(pent)
+    azs = []
+    for c in kids1:
+        la, lo = h3.cell_to_latlng(c)
+        if abs(la - vlat) < 1e-9 and abs(lo - vlng) < 1e-9:
+            continue
+        azs.append(math.degrees(float(h3._geo_azimuth(
+            math.radians(vlat), math.radians(vlng),
+            math.radians(la), math.radians(lo)))) % 360.0)
+    azs = sorted(azs)
+    gaps = [(azs[(i + 1) % 5] - azs[i]) % 360 for i in range(5)]
+    assert all(abs(g - 72.0) < 1e-6 for g in gaps)
+
+
+def test_grid_disk_sizes_hexagon():
+    for k, n in [(1, 7), (2, 19), (3, 37)]:
+        assert len(h3.grid_disk(SF_CELL_9, k)) == n
+
+
+def test_vectorized_matches_scalar():
+    rng = np.random.default_rng(3)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 500)))
+    lon = rng.uniform(-180, 180, 500)
+    vec = h3.latlng_to_cell(lat, lon, 7)
+    for idx in range(0, 500, 37):
+        assert int(h3.latlng_to_cell(float(lat[idx]), float(lon[idx]), 7)) == int(vec[idx])
+
+
+def test_parent_containment_statistical():
+    """H3 children overhang their parents slightly; the res-chain parent
+    should still agree with direct assignment for the vast majority."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lon = rng.uniform(-180, 180, n)
+    c9 = h3.latlng_to_cell(lat, lon, 9)
+    c7 = h3.latlng_to_cell(lat, lon, 7)
+    par = np.array([h3.cell_to_parent(int(c), 7) for c in c9])
+    assert (par == c7).mean() > 0.93
+
+
+def test_boundary_contains_center():
+    """Boundary vertices surround the center (diagnostic sanity)."""
+    for cell in [SF_CELL_9, h3.cell_to_parent(SF_CELL_9, 5)]:
+        lat, lng = h3.cell_to_latlng(cell)
+        b = h3.cell_boundary(cell)
+        lons = [p[0] for p in b]
+        lats = [p[1] for p in b]
+        assert min(lats) < lat < max(lats)
+        assert min(lons) < lng < max(lons)
