@@ -50,11 +50,37 @@ def _parse_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _parse_tile_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only, with teeth: every parsed polygon must produce >=1
+    cover row (lineage), and a sampled polygon's ring vertices must land
+    inside its own cover (superset property)."""
+    import numpy as np
+
+    from openair_spark.index import quadkey
     from openair_spark.ops.tiling import polygon_tiles
     from openair_spark.spark.pipeline import parse_features
 
-    feats = parse_features(_pages_for(spark, sf_dir))
-    return polygon_tiles(feats)
+    feats = parse_features(_pages_for(spark, sf_dir)).cache()
+    tiles = polygon_tiles(feats).cache()
+    polys = feats.where(F.col("success") & (F.col("geometry_type") == "Polygon"))
+    n_polys = polys.count()
+    n_covered = tiles.select("url", "airspace_idx").distinct().count()
+    assert n_covered == n_polys, (n_covered, n_polys)
+    # superset sampling: vertices of 5 polygons vs their own cover cells
+    sample = polys.select("url", "airspace_idx", "ring").limit(5).collect()
+    cover_rows = tiles.select("url", "airspace_idx", "cell").collect()
+    by_poly: dict = {}
+    for r in cover_rows:
+        by_poly.setdefault((r["url"], r["airspace_idx"]), set()).add(r["cell"])
+    for row in sample:
+        cells = by_poly[(row["url"], row["airspace_idx"])]
+        resolutions = sorted({int(c) >> quadkey._RES_SHIFT for c in cells})
+        ring = np.asarray([list(p) for p in row["ring"]], dtype=np.float64)
+        for lon, lat in ring[:-1]:
+            assert any(
+                int(quadkey.cell_id(lat, lon, res)) in cells
+                for res in resolutions), (row["url"], lon, lat)
+    feats.unpersist()
+    return tiles
 
 
 def _parse_pip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,20 +104,59 @@ def _parse_pip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _feature_collections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teeth: each url's collection JSON must contain exactly as many
+    Feature objects as the features DataFrame has success rows."""
     from openair_spark.spark.pipeline import feature_collections, parse_features
 
-    feats = parse_features(_pages_for(spark, sf_dir))
-    return feature_collections(feats)
+    feats = parse_features(_pages_for(spark, sf_dir)).cache()
+    fc = feature_collections(feats)
+    counted = fc.withColumn(
+        "n_json", F.regexp_count("feature_collection_json",
+                                 F.lit('\\{"type":"Feature",')))
+    expected = (feats.where(F.col("success"))
+                .groupBy("url").agg(F.count("*").alias("n_feat")))
+    mism = counted.join(expected, "url", "full_outer").where(
+        F.coalesce("n_json", F.lit(-1)) != F.coalesce("n_feat", F.lit(-2))).count()
+    assert mism == 0, f"{mism} urls with feature-count mismatch"
+    feats.unpersist()
+    return fc
 
 
 def _openair_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON -> OpenAIR writer (reference O3, src/geojson-to-openair.ts)
-    applied per feature; returns url + emitted line count + first line."""
+    applied per feature. Teeth: the emitted v2 text of every v2-complete
+    feature must RE-PARSE to exactly one feature (executor-side assert,
+    mirroring the reference round-trip gold test)."""
+    import pandas as pd
+
     from openair_spark.spark.pipeline import parse_features
     from openair_spark.spark.writer import openair_lines
 
-    feats = parse_features(_pages_for(spark, sf_dir))
-    return openair_lines(feats)
+    feats = parse_features(_pages_for(spark, sf_dir)).cache()
+    lines = openair_lines(feats)
+
+    v2_lines = openair_lines(feats.where(F.col("type").isNotNull()))
+
+    def reparse_kernel(batches):
+        from openair_spark.core.config import ParserConfig
+        from openair_spark.core.parser import parse_text
+
+        cfg = ParserConfig.default("2.0")
+        for pdf in batches:
+            for url, txt in zip(pdf["url"], pdf["openair_text"]):
+                r = parse_text(txt, cfg, id_seed=url)
+                assert r.success and len(r.geojson["features"]) == 1, (
+                    url, r.error_message)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    n_v2 = v2_lines.count()
+    if n_v2:
+        reparsed = v2_lines.select("url", "openair_text").mapInPandas(
+            reparse_kernel, "n long")
+        total = reparsed.agg(F.sum("n")).collect()[0][0]
+        assert total == n_v2, (total, n_v2)
+    feats.unpersist()
+    return lines
 
 
 def _checkpoint_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,17 +194,48 @@ def _spark_native_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize + block-segmentation FSM over REAL OpenAIR text — the
     running-sum window replaces src/parser.ts:129-159; classification is
     a JVM when/rlike cascade (no Python)."""
+    import pandas as pd
+
     from openair_spark.spark.extract import extract_openair
     from openair_spark.spark.tokenize import blocks_df, tokens_df
 
-    extracted = extract_openair(_pages_for(spark, sf_dir))
+    extracted = extract_openair(_pages_for(spark, sf_dir)).cache()
     blocks = blocks_df(tokens_df(extracted))
-    return (
+    out = (
         blocks.groupBy("url", "block_id")
         .agg(F.count("*").alias("n_tokens"),
              F.min("line_no").alias("first_line"),
              F.max("line_no").alias("last_line"))
     )
+    # teeth: the running-sum window must segment exactly like the core
+    # parser's FSM (src/parser.ts:129-159) on every url
+    spark_counts = out.groupBy("url").agg(F.count("*").alias("n_spark"))
+
+    def core_kernel(batches):
+        from openair_spark.core.config import ParserConfig
+        from openair_spark.core.parser import segment_blocks
+        from openair_spark.core import tokenizer as tk
+
+        cfg = ParserConfig.default("1.0")
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["openair_text"]):
+                try:
+                    tokens = tk.tokenize(text, cfg, [], None)
+                    rows.append({"url": url,
+                                 "n_core": len(segment_blocks(tokens))})
+                except Exception:
+                    rows.append({"url": url, "n_core": -1})
+            yield pd.DataFrame(rows, columns=["url", "n_core"])
+
+    core_counts = extracted.select("url", "openair_text").mapInPandas(
+        core_kernel, "url string, n_core long")
+    mism = (spark_counts.join(core_counts, "url", "inner")
+            .where((F.col("n_core") >= 0) & (F.col("n_spark") != F.col("n_core")))
+            .count())
+    assert mism == 0, f"{mism} urls where window segmentation != core FSM"
+    extracted.unpersist()
+    return out
 
 
 def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,8 +244,31 @@ def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     container; plumbing is real, see ops/multimodal.py)."""
     from openair_spark.ops.multimodal import decode_features, extract_assets
 
-    assets = extract_assets(_pages_for(spark, sf_dir))
-    return decode_features(assets, fake=True)
+    assets = extract_assets(_pages_for(spark, sf_dir)).cache()
+    out = decode_features(assets, fake=True)
+    # teeth: the decode kernel must emit exactly one row per asset
+    n_assets = assets.count()
+    n_out = out.count()
+    assert n_out == n_assets, (n_out, n_assets)
+    assets.unpersist()
+    return out
+
+
+def _parse_h3_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True H3 compact cover (north star: polygons tiled into H3 res 5-9
+    via a compact-cover algorithm). Teeth: every parsed polygon yields
+    >=1 cover row, and FULL cells exist (compactness is real)."""
+    from openair_spark.ops.h3tiles import h3_polygon_tiles
+    from openair_spark.spark.pipeline import parse_features
+
+    feats = parse_features(_pages_for(spark, sf_dir)).cache()
+    tiles = h3_polygon_tiles(feats, min_res=5, max_res=7).cache()
+    n_polys = feats.where(
+        F.col("success") & (F.col("geometry_type") == "Polygon")).count()
+    n_covered = tiles.select("url", "airspace_idx").distinct().count()
+    assert n_covered == n_polys, (n_covered, n_polys)
+    feats.unpersist()
+    return tiles
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -168,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["parse_features_corpus"] = _parse_features_q
     out["parse_tile_cover"] = _parse_tile_cover_q
+    out["parse_h3_cover"] = _parse_h3_cover_q
     out["parse_pip_join"] = _parse_pip_q
     out["feature_collections"] = _feature_collections_q
     out["openair_roundtrip"] = _openair_roundtrip_q

@@ -847,11 +847,13 @@ def cell_boundary(h: int) -> list:
     divergence."""
     f, i, j, k, res = _h3_to_face_ijk(h)
     x, y = _ijk_to_hex2d(i, j, k)
-    rot = M_AP7_ROT_RADS if res % 2 == 1 else 0.0
     out = []
     rad = 1.0 / math.sqrt(3.0)
+    # the hex2d frame already carries the Class III lattice rotation
+    # (applied inside the projection), so corners sit at exactly
+    # 30 + k*60 deg in-frame at every resolution
     for c in range(6):
-        ang = math.pi / 6.0 + c * math.pi / 3.0 - rot
+        ang = math.pi / 6.0 + c * math.pi / 3.0
         vx = x + rad * math.cos(ang)
         vy = y + rad * math.sin(ang)
         lat, lon = _hex2d_to_geo(vx, vy, f, res)
@@ -864,10 +866,11 @@ def grid_neighbors(h: int) -> list:
     (a geometric formulation of gridDisk ring 1; pentagons return 5)."""
     f, i, j, k, res = _h3_to_face_ijk(h)
     x, y = _ijk_to_hex2d(i, j, k)
-    rot = M_AP7_ROT_RADS if res % 2 == 1 else 0.0
     out = []
+    # neighbor centers are one unit step along the in-frame lattice
+    # directions (exact k*60 deg; Class III rotation lives in the frame)
     for c in range(6):
-        ang = c * math.pi / 3.0 - rot
+        ang = c * math.pi / 3.0
         lat, lon = _hex2d_to_geo(x + math.cos(ang), y + math.sin(ang), f, res)
         n = int(latlng_to_cell(math.degrees(lat), math.degrees(lon),
                                get_resolution(h)))

@@ -127,6 +127,49 @@ def test_parent_containment_statistical():
     assert (par == c7).mean() > 0.93
 
 
+def test_h3_cover_superset_and_full_cells():
+    """Cover invariant: every point inside the ring has its cell (at some
+    cover res) in the cover; FULL cover cells' centers are inside."""
+    from openair_spark.ops.h3tiles import h3_cover
+
+    ring = np.array([[9.5, 49.5], [11.5, 49.5], [11.5, 51.2],
+                     [9.5, 51.2], [9.5, 49.5]])
+    cover = h3_cover(ring, min_res=5, max_res=7)
+    assert len(cover) > 0
+    by_res: dict = {}
+    for cell, res, full in cover:
+        by_res.setdefault(res, set()).add(cell)
+        if full:
+            la, lo = h3.cell_to_latlng(cell)
+            assert (9.5 <= lo <= 11.5) and (49.5 <= la <= 51.2)
+    assert any(full for _, _, full in cover)  # compact: coarse FULL cells exist
+    # compact-set membership: p covered iff an ancestor-or-self of its
+    # max_res cell is in the cover (H3 parent/child is an index relation,
+    # children overhang territories — mixed-res point lookups are wrong)
+    rng = np.random.default_rng(2)
+    plon = rng.uniform(9.55, 11.45, 300)
+    plat = rng.uniform(49.55, 51.15, 300)
+    max_res = max(by_res)
+    for lo, la in zip(plon, plat):
+        leaf = int(h3.latlng_to_cell(la, lo, max_res))
+        covered = any(
+            h3.cell_to_parent(leaf, res) in cells
+            for res, cells in by_res.items())
+        assert covered, (lo, la)
+
+
+def test_h3_cover_compactness():
+    """FULL cells stay at the coarsest fitting res: a big ring must not
+    emit only max_res cells."""
+    from openair_spark.ops.h3tiles import h3_cover
+
+    ring = np.array([[8.0, 48.0], [13.0, 48.0], [13.0, 53.0],
+                     [8.0, 53.0], [8.0, 48.0]])
+    cover = h3_cover(ring, min_res=5, max_res=6)
+    res_of_full = {res for _, res, full in cover if full}
+    assert 5 in res_of_full
+
+
 def test_boundary_contains_center():
     """Boundary vertices surround the center (diagnostic sanity)."""
     for cell in [SF_CELL_9, h3.cell_to_parent(SF_CELL_9, 5)]:
