@@ -42,7 +42,6 @@ North rule: polygons tile into H3 res 5-9 (ops/tiling.py).
 from __future__ import annotations
 
 import math
-from functools import lru_cache
 
 import numpy as np
 
@@ -223,7 +222,21 @@ def _axis_azimuth(face: int, i: int, j: int, k: int) -> tuple:
     return (lat, lon), az
 
 
-@lru_cache(maxsize=1)
+_TABLES = None
+
+
+def seed_tables(t) -> None:
+    """Install driver-computed tables in this process (workers).
+
+    Derivation + calibration costs ~2.5 s once per process; kernels that
+    fan out across many Python workers capture `_tables()` driver-side
+    (15 KB pickled) and seed it here instead of paying it per worker."""
+    global _TABLES, _VLUT
+    if _TABLES is None:
+        _TABLES = t
+        _VLUT = None
+
+
 def _tables():
     """Derive every generated H3 table from the face geometry, then
     calibrate the pentagon-position rotations against the inverse.
@@ -237,9 +250,12 @@ def _tables():
     are fixed by requiring forward(center(h)) == h over all pentagon
     descendants to res 3 — the same consistency the published tables
     encode."""
-    t = _derive()
-    _calibrate_pentagons(t)
-    return t
+    global _TABLES
+    if _TABLES is None:
+        t = _derive()
+        _calibrate_pentagons(t)
+        _TABLES = t
+    return _TABLES
 
 
 def _derive():

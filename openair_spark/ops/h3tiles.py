@@ -176,8 +176,10 @@ def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 7,
         features.where(F.col("success") & (F.col("geometry_type") == "Polygon"))
         .select("url", "airspace_idx", "ring")
     )
+    h3_tables = h3._tables()  # once on the driver; seeded into workers
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h3.seed_tables(h3_tables)
         cols = [c.split()[0] for c in H3_TILES_SCHEMA.split(", ")]
         for pdf in batches:
             out: list[dict] = []

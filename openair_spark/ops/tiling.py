@@ -43,8 +43,12 @@ _S2_LEVEL_FOR_RES = {r: r + 1 for r in range(0, 28)}
 _H3_RES_FOR_RES = {r: min(max(r, 5), 9) for r in range(0, 28)}
 
 
-def _tile_kernel(batches: Iterator[pd.DataFrame], min_res: int, max_res: int
-                 ) -> Iterator[pd.DataFrame]:
+def _tile_kernel(batches: Iterator[pd.DataFrame], min_res: int, max_res: int,
+                 h3_tables=None) -> Iterator[pd.DataFrame]:
+    if h3_tables is not None:
+        # tables computed once on the driver (15 KB pickled) — saves the
+        # ~2.5 s derivation+calibration per python worker
+        h3.seed_tables(h3_tables)
     cols = [c.split()[0] for c in TILES_SCHEMA.split(", ")]
     for pdf in batches:
         out: list[dict] = []
@@ -88,9 +92,10 @@ def polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9) -> Da
         features.where(F.col("success") & (F.col("geometry_type") == "Polygon"))
         .select("url", "airspace_idx", "ring")
     )
+    h3_tables = h3._tables()
 
     def kernel(batches):
-        return _tile_kernel(batches, min_res, max_res)
+        return _tile_kernel(batches, min_res, max_res, h3_tables)
 
     return src.mapInPandas(kernel, TILES_SCHEMA)
 
