@@ -221,4 +221,13 @@ def buffer_line_km(segments: list, buffer_km: float) -> list:
     open_ring = ring[:-1]
     rotated = open_ring[1:] + open_ring[:1]
     rotated.append(rotated[0])
-    return [list(proj.invert(p[0], p[1])) for p in rotated]
+    out = [list(proj.invert(p[0], p[1])) for p in rotated]
+    # Multi-segment polylines with inside turns leave local
+    # self-intersections in the raw offset curve (JTS resolves them in
+    # its noder/polygonizer; single-segment curves — the gold fixture —
+    # have none). Emulate that with the outer-boundary walk over the
+    # noded curve so airway polygons are always simple AND cover every
+    # segment (largest-sub-ring would drop a lobe).
+    from .polygon import outer_boundary_ring
+
+    return outer_boundary_ring(out)

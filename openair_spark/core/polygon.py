@@ -231,6 +231,60 @@ def _is_ring_close(stack: list, pt) -> bool:
     return bool(stack) and stack[0][0] == pt[0] and stack[0][1] == pt[1]
 
 
+def outer_boundary_ring(ring: list) -> list:
+    """Outer boundary of the union of the regions enclosed by a
+    (possibly self-intersecting) closed ring — the JTS
+    noder+polygonizer result for a buffer curve, re-expressed as a
+    planar-graph walk: node the curve at its self-intersections, then
+    from the lowest vertex walk edge-to-edge always taking the
+    clockwise-most continuation, which keeps the union's exterior on
+    one side. Used by the airway buffer for multi-segment polylines.
+    """
+    if not ring_self_intersections(ring):
+        return [list(p) for p in ring]
+    aug = _augment_ring(ring)
+    # directed edge adjacency (skip zero-length after augmentation)
+    adj: dict[tuple, list] = {}
+    for a, b in zip(aug[:-1], aug[1:]):
+        ka, kb = (a[0], a[1]), (b[0], b[1])
+        if ka == kb:
+            continue
+        adj.setdefault(ka, []).append(kb)
+        adj.setdefault(kb, []).append(ka)
+
+    import math as _math
+
+    start = min(adj, key=lambda p: (p[1], p[0]))  # lowest, then leftmost
+    # first step: from the lowest vertex every edge points upward; the
+    # smallest polar angle starts a counterclockwise outer walk
+    first = min(adj[start],
+                key=lambda w: _math.atan2(w[1] - start[1], w[0] - start[0]))
+    walk = [start, first]
+    prev, cur = start, first
+    for _ in range(4 * len(aug)):
+        if cur == start:
+            break
+        base = _math.atan2(prev[1] - cur[1], prev[0] - cur[0])
+        best = None
+        for w in adj[cur]:
+            if w == cur:
+                continue
+            a = _math.atan2(w[1] - cur[1], w[0] - cur[0])
+            turn = (a - base) % (2.0 * _math.pi)
+            if turn < 1e-12:  # straight back: only if dead end
+                turn = 2.0 * _math.pi
+            # outer continuation = SMALLEST ccw angle from the reversed
+            # incoming edge (keeps the enclosed union on the walk's
+            # interior side for the ccw start convention above)
+            if best is None or turn < best[0]:
+                best = (turn, w)
+        prev, cur = cur, best[1]
+        walk.append(cur)
+    if walk[-1] != walk[0]:
+        raise ValueError("outer boundary walk did not close")
+    return [list(p) for p in walk]
+
+
 def get_largest_polygon(rings: list[list]) -> list:
     """Largest-area ring wins; later ties win (>=) —
     src/geojson-polygon.ts:110-132."""

@@ -89,6 +89,39 @@ def test_golden_airway():
     assert strip_ids(result.geojson) == expected
 
 
+def test_airway_multi_segment_concave_is_simple():
+    """Multi-segment airway with an inside turn: the raw offset curve
+    self-intersects locally; the buffer must emit a simple polygon (the
+    reference's JTS noder does this; we unkink->largest). No reference
+    fixture exists for multi-segment airways — this asserts the engine
+    invariant (simple ring, segments covered) rather than bit parity."""
+    import numpy as np
+
+    from openair_spark.core.geo import ring_self_intersections
+    from openair_spark.index.pip import points_in_ring
+
+    text = (
+        "AC P\n"
+        "AN Bent airway\n"
+        "AL FL090\n"
+        "AH FL140\n"
+        "V W=2.5\n"
+        "DY 44:17:00 N 004:59:00 E\n"
+        "DY 44:19:30 N 005:05:00 E\n"
+        "DY 44:15:00 N 005:10:00 E\n"  # sharp concave turn
+    )
+    result = parse_text(text, v1_config())
+    assert result.success, result.error_message
+    ring = result.geojson["features"][0]["geometry"]["coordinates"][0]
+    assert len(ring) >= 8
+    assert not ring_self_intersections(ring)
+    # segment midpoints are inside the buffered polygon
+    segs = [(4.9833 + 5.0833, 44.2833 + 44.325), (5.0833 + 5.1667, 44.325 + 44.25)]
+    mx = np.array([s[0] / 2 for s in segs])
+    my = np.array([s[1] / 2 for s in segs])
+    assert points_in_ring(mx, my, np.asarray(ring)).all()
+
+
 GOLDEN_V2 = [
     ("version-2-commands.txt", "version-2-commands-result.json"),
     ("activation-times.txt", "activation-times-result.json"),
