@@ -653,6 +653,100 @@ SELECT vec_id, centroid_id, round(l2, 6) AS l2 FROM (
 """
 
 
+_IVF_NPROBE = 2
+_IVF_TOPK = 3
+_IVF_NQUERIES = 50
+
+
+def q_ann_ivf_search(spark, sf_dir):
+    """IVF search (the ANN scale path end-to-end): queries probe their
+    `nprobe` nearest coarse centroids, candidates are the vectors
+    assigned to those centroids (an equi-join on centroid_id — work is
+    bounded by list sizes, never all-pairs), exact cosine ranks top-k.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = emb.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    l2 = F.sqrt(F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    dist = emb.crossJoin(F.broadcast(cents)).withColumn("l2", l2)
+    w = Window.partitionBy("vec_id").orderBy(F.col("l2").asc(), F.col("centroid_id").asc())
+    ranked = dist.withColumn("rk", F.row_number().over(w))
+    # inverted lists: every vector sits in exactly one centroid cell
+    assign = ranked.where(F.col("rk") == 1).select(
+        F.col("vec_id").alias("vec_b"), "centroid_id",
+        F.col("v").alias("vb"))
+    # probe lists: each query fans out to its nprobe nearest centroids
+    probes = (
+        ranked.where((F.col("rk") <= _IVF_NPROBE)
+                     & (F.col("vec_id") < _IVF_NQUERIES))
+        .select(F.col("vec_id").alias("vec_a"), "centroid_id",
+                F.col("v").alias("va"))
+    )
+    norm_a = F.sqrt(F.aggregate(
+        F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    norm_b = F.sqrt(F.aggregate(
+        F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cand = (
+        probes.join(assign, "centroid_id")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("sim", F.round(dot / (norm_a * norm_b), 6))
+        .select("vec_a", "vec_b", "sim").distinct()
+    )
+    w2 = Window.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _IVF_TOPK)
+        .select("vec_a", "vec_b", "sim", "rk")
+    )
+
+
+SQL_ANN_IVF_SEARCH = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+dist AS (
+  SELECT a.vec_id, b.vec_id AS centroid_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+              i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                 * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))) AS l2
+  FROM e a JOIN e b ON b.vec_id < {_IVF_K}
+),
+ranked AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rk
+  FROM dist
+),
+assign AS (SELECT vec_id AS vec_b, centroid_id FROM ranked WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS vec_a, centroid_id FROM ranked
+  WHERE rk <= {_IVF_NPROBE} AND vec_id < {_IVF_NQUERIES}
+),
+nrm AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT vec_a, vec_b,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+               / (na.nrm * nb.nrm), 6) AS sim
+  FROM probes JOIN assign USING (centroid_id)
+  JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+  JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+  WHERE vec_a <> vec_b
+)
+SELECT vec_a, vec_b, sim, rk FROM (
+  SELECT vec_a, vec_b, sim,
+         row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b ASC) AS rk
+  FROM cand
+) WHERE rk <= {_IVF_TOPK}
+"""
+
+
 CATALOG = {
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -668,4 +762,5 @@ CATALOG = {
     "binary_asset_stats": QueryDef(q_binary_asset_stats, SQL_BINARY_ASSET_STATS),
     "embedding_cosine_neardup": QueryDef(q_embedding_cosine_neardup, SQL_EMBEDDING_COSINE_NEARDUP),
     "ann_ivf_assign": QueryDef(q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
+    "ann_ivf_search": QueryDef(q_ann_ivf_search, SQL_ANN_IVF_SEARCH),
 }
