@@ -53,6 +53,74 @@ def stream_parse_pages(spark: SparkSession, pages_dir: str, features_dir: str,
     return writer.start()
 
 
+LINE_EVENTS_SCHEMA = "url string, line_no int, line string, is_last boolean"
+ASSEMBLED_SCHEMA = ("url string, n_lines long, n_features long, "
+                    "n_errors long, first_name string")
+
+
+def stateful_block_assembler(lines_stream: DataFrame,
+                             config_json: str | None = None) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    url's OpenAIR lines arrive as events spread across micro-batches;
+    per-url state accumulates them until the url's `is_last` line lands,
+    then the assembled document runs through the SAME core parse kernels
+    and one result row is emitted (Append mode; state removed).
+
+    This is the streaming twin of the batch per-url fail-fast semantics:
+    the unit of work is the document, but ingestion is incremental —
+    state is bounded by document size, not stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assemble(key, pdf_iter, state: GroupState):
+        url = key[0]
+        lines = list(state.get[0]) if state.exists else []
+        done = False
+        for pdf in pdf_iter:
+            for line_no, line, last in zip(pdf["line_no"], pdf["line"],
+                                           pdf["is_last"]):
+                lines.append(f"{int(line_no):09d}\x00{line}")
+                if bool(last):
+                    done = True
+        if not done:
+            state.update((lines,))
+            return iter(())
+        state.remove()
+        ordered = [s.split("\x00", 1)[1] for s in sorted(lines)]
+        text = "\n".join(ordered)
+
+        from ..core.config import ParserConfig
+        from ..core.parser import parse_text
+
+        cfg = ParserConfig.default() if not config_json else None
+        if cfg is None:
+            import json as _json
+
+            payload = _json.loads(config_json)
+            cfg = ParserConfig.default(payload.pop("version", "2.0"), **payload)
+        result = parse_text(text, cfg, id_seed=url)
+        feats = result.geojson["features"] if result.success else []
+        name = feats[0]["properties"]["name"] if feats else None
+        yield pd.DataFrame([{
+            "url": url, "n_lines": len(ordered),
+            "n_features": len(feats),
+            "n_errors": 0 if result.success else 1,
+            "first_name": name,
+        }])
+
+    return (
+        lines_stream.groupBy("url")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=ASSEMBLED_SCHEMA,
+            stateStructType="lines array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_event_stats(events_stream: DataFrame, window: str = "10 minutes",
                          slide: str | None = None,
                          watermark: str = "30 minutes") -> DataFrame:

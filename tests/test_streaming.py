@@ -71,3 +71,52 @@ def test_windowed_event_stats_drops_late_rows(spark, tmp_path):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+def test_stateful_block_assembler_across_batches(spark, tmp_path):
+    """Custom stateful op: a url's lines split across two file drops
+    (two micro-batches) must assemble into one parsed result; state
+    carries across batches and is removed on emit."""
+    from openair_spark.core.config import ParserConfig
+    from openair_spark.core.parser import parse_text
+    from openair_spark.streaming.pipeline import (
+        LINE_EVENTS_SCHEMA,
+        stateful_block_assembler,
+    )
+
+    text = open("/root/reference/tests/fixtures/polygon.txt").read()
+    lines = text.split("\n")
+    half = len(lines) // 2
+    rows_a = [("u1", i, ln, False) for i, ln in enumerate(lines[:half])]
+    rows_b = [("u1", i + half, ln, i + half == len(lines) - 1)
+              for i, ln in enumerate(lines[half:])]
+    # u2 completes entirely inside drop 1
+    rows_a += [("u2", i, ln, i == len(lines) - 1) for i, ln in enumerate(lines)]
+
+    src = str(tmp_path / "lines")
+    out = str(tmp_path / "assembled")
+    ckpt = str(tmp_path / "ackpt")
+    spark.createDataFrame(rows_a, LINE_EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(rows_b, LINE_EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(LINE_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cfg = '{"version": "1.0"}'
+    q = (stateful_block_assembler(stream, config_json=cfg)
+         .writeStream.outputMode("append")
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    expected = parse_text(text, ParserConfig.default("1.0"), id_seed="u1")
+    assert set(got) == {"u1", "u2"}
+    for url in ("u1", "u2"):
+        assert got[url]["n_lines"] == len(lines)
+        assert got[url]["n_features"] == len(expected.geojson["features"])
+        assert got[url]["n_errors"] == 0
+        assert got[url]["first_name"] == \
+            expected.geojson["features"][0]["properties"]["name"]
