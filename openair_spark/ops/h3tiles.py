@@ -101,6 +101,8 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
     PARTIAL cells refine to children until max_res. `max_cells` bounds
     hostile rings: when hit, remaining PARTIAL cells are emitted at
     their current resolution (still a superset)."""
+    import math
+
     ring = np.asarray(ring, dtype=np.float64)
     # seed: cells of every ring vertex + centroid, plus one neighbor ring
     # (flood-fill needs a connected superset seed touching the polygon)
@@ -113,10 +115,12 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
     seen: set = set(seeds)
     frontier = list(seeds)
     partial_leaves: list = []
-    # BFS at min_res: expand while cells touch the ring
+    # BFS at min_res, level-synchronous: all 6 neighbor probes of a whole
+    # level go through ONE vectorized latlng_to_cell call (per-cell calls
+    # pay ~1 ms of vectorization overhead each — the profile's hot spot)
     dil = _CHILD_OVERHANG_DILATION if min_res < max_res else 0.0
     while frontier:
-        nxt = []
+        expand: list = []
         for cell in frontier:
             verdict = _classify(cell, ring, dilate=dil)
             if verdict == OUTSIDE:
@@ -127,11 +131,27 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
                 out.append((cell, min_res, True))
             else:
                 partial_leaves.append(cell)
-            for nb in h3.grid_neighbors(cell):
-                if nb not in seen:
-                    seen.add(nb)
-                    nxt.append(nb)
-        frontier = nxt
+            expand.append(cell)
+        if not expand:
+            break
+        probe_lat: list = []
+        probe_lon: list = []
+        for cell in expand:
+            f, i, j, k, res_adj = h3._h3_to_face_ijk(cell)
+            x, y = h3._ijk_to_hex2d(i, j, k)
+            for c in range(6):
+                ang = c * math.pi / 3.0
+                la, lo = h3._hex2d_to_geo(
+                    x + math.cos(ang), y + math.sin(ang), f, res_adj)
+                probe_lat.append(math.degrees(la))
+                probe_lon.append(math.degrees(lo))
+        nbs = h3.latlng_to_cell(
+            np.asarray(probe_lat), np.asarray(probe_lon), min_res)
+        frontier = []
+        for nb in (int(n) for n in nbs):
+            if nb not in seen:
+                seen.add(nb)
+                frontier.append(nb)
         if len(seen) > max_cells:
             break
 
