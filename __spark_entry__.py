@@ -83,6 +83,24 @@ def _parse_tile_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles
 
 
+def _parse_s2_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True S2 compact cover (north star: polygons tiled into S2 cells
+    via a compact-cover algorithm). Teeth: every parsed polygon yields
+    >=1 cover row; FULL cells exist (compactness is real)."""
+    from openair_spark.ops.s2tiles import s2_polygon_tiles
+    from openair_spark.spark.pipeline import parse_features
+
+    feats = parse_features(_pages_for(spark, sf_dir)).cache()
+    tiles = s2_polygon_tiles(feats, max_level=9).cache()
+    n_polys = feats.where(
+        F.col("success") & (F.col("geometry_type") == "Polygon")).count()
+    n_covered = tiles.select("url", "airspace_idx").distinct().count()
+    assert n_covered == n_polys, (n_covered, n_polys)
+    assert tiles.where(F.col("is_full")).count() > 0
+    feats.unpersist()
+    return tiles
+
+
 def _parse_pip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: parse airspaces from pages, then PIP-join a synthetic
     point grid against the parsed polygons (rows-only: polygons come
@@ -288,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["parse_features_corpus"] = _parse_features_q
     out["parse_tile_cover"] = _parse_tile_cover_q
     out["parse_h3_cover"] = _parse_h3_cover_q
+    out["parse_s2_cover"] = _parse_s2_cover_q
     out["parse_pip_join"] = _parse_pip_q
     out["feature_collections"] = _feature_collections_q
     out["openair_roundtrip"] = _openair_roundtrip_q

@@ -51,18 +51,42 @@ def xyz_to_face_uv(x, y, z):
     face = face + np.where(
         np.select([face == 0, face == 1], [x, y], z) < 0, 3, 0
     )
-    # (u, v) per face, spec axis conventions
-    u = np.select(
-        [face == 0, face == 1, face == 2, face == 3, face == 4],
-        [y / x, -x / y, -x / z, z / x, y / x],  # face 5 handled by default
-        default=-y / z,
-    )
-    v = np.select(
-        [face == 0, face == 1, face == 2, face == 3, face == 4],
-        [z / x, z / y, y / z, y / x, -z / y],
-        default=-x / z,
-    )
+    # (u, v) per face — canonical spec conventions (faceXYZtoUV):
+    #   f0 (+x): ( y/x,  z/x)   f1 (+y): (-x/y,  z/y)   f2 (+z): (-x/z, -y/z)
+    #   f3 (-x): ( z/x,  y/x)   f4 (-y): ( z/y, -x/y)   f5 (-z): (-y/z, -x/z)
+    # the dominant axis is the denominator on every face, so u, v are
+    # always within [-1, 1]; np.select evaluates every branch, so
+    # non-selected zero denominators must not warn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y],  # face 5 handled by default
+            default=-y / z,
+        )
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y],
+            default=-x / z,
+        )
     return face.astype(np.int64), u, v
+
+
+def face_uv_to_xyz(face: int, u, v):
+    """Inverse of xyz_to_face_uv (unnormalized direction vector)."""
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    one = np.ones_like(u)
+    if face == 0:
+        return one, u, v
+    if face == 1:
+        return -u, one, v
+    if face == 2:
+        return -u, -v, one
+    if face == 3:
+        return -one, -v, -u
+    if face == 4:
+        return v, -one, -u
+    return v, u, -one
 
 
 def uv_to_st(u):
@@ -139,3 +163,77 @@ def parent(cell, level: int):
 def cell_token(cell) -> str:
     """Canonical hex token of a scalar cell id."""
     return format(np.uint64(np.asarray(cell).item()), "016x").rstrip("0") or "0"
+
+
+def decode(cell) -> tuple:
+    """Scalar cell id -> (face, i, j, level): inverse Hilbert walk using
+    the same orientation automaton as the forward encode. Accepts signed
+    (two's-complement int64, as emitted by cell_id) or unsigned ints."""
+    c = int(cell) & 0xFFFFFFFFFFFFFFFF
+    level = int(np.asarray(cell_level(c)).item())
+    face = c >> 61
+    pos = (c >> (64 - 3 - 2 * level)) & ((1 << (2 * level)) - 1)
+    orientation = face & SWAP
+    i = j = 0
+    for k in range(level):
+        p = (pos >> (2 * (level - 1 - k))) & 3
+        ij = int(POS_TO_IJ[orientation][p])
+        i = (i << 1) | (ij >> 1)
+        j = (j << 1) | (ij & 1)
+        orientation ^= int(POS_TO_ORIENTATION[p])
+    return face, i, j, level
+
+
+def _st_ij_bounds(i: int, level: int) -> tuple:
+    n = 1 << level
+    return i / n, (i + 1) / n
+
+
+def cell_corners_latlon(cell) -> list:
+    """[(lon, lat)] of the 4 cell corners (geodesic edges are straight in
+    uv space; lon/lat quads are an approximation used by the cover)."""
+    face, i, j, level = decode(cell)
+    s0, s1 = _st_ij_bounds(i, level)
+    t0, t1 = _st_ij_bounds(j, level)
+    out = []
+    for s, t in ((s0, t0), (s1, t0), (s1, t1), (s0, t1)):
+        x, y, z = face_uv_to_xyz(face, st_to_uv(s), st_to_uv(t))
+        lon = float(np.degrees(np.arctan2(y, x)))
+        lat = float(np.degrees(np.arctan2(z, np.hypot(x, y))))
+        out.append((lon, lat))
+    return out
+
+
+def cell_center_latlon(cell) -> tuple:
+    face, i, j, level = decode(cell)
+    s = (i + 0.5) / (1 << level)
+    t = (j + 0.5) / (1 << level)
+    x, y, z = face_uv_to_xyz(face, st_to_uv(s), st_to_uv(t))
+    lat = float(np.degrees(np.arctan2(z, np.hypot(x, y))))
+    lon = float(np.degrees(np.arctan2(y, x)))
+    return lat, lon
+
+
+def children(cell) -> list:
+    """The 4 child cell ids as UNSIGNED python ints (quadtree: children
+    partition the parent's territory exactly). Use to_signed() before
+    storing in an int64 column."""
+    c = int(cell) & 0xFFFFFFFFFFFFFFFF
+    lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+    new_lsb = lsb >> 2
+    return [(c - lsb + new_lsb) + 2 * q * new_lsb for q in range(4)]
+
+
+def range_min_max(cell) -> tuple:
+    """UNSIGNED leaf-id range covered by the cell — containment tests
+    are pure integer range checks (quadtree ids are contiguous per
+    subtree in unsigned id space; compare unsigned to unsigned)."""
+    c = int(cell) & 0xFFFFFFFFFFFFFFFF
+    lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+    return c - (lsb - 1), c + (lsb - 1)
+
+
+def to_signed(cell: int) -> int:
+    """Unsigned 64-bit id -> two's-complement int64 (Spark LongType)."""
+    cell &= 0xFFFFFFFFFFFFFFFF
+    return cell - (1 << 64) if cell >= (1 << 63) else cell

@@ -195,3 +195,68 @@ def test_classify_cells_matches_cover_semantics():
             assert inside
         elif kind == OUTSIDE:
             assert not inside
+
+
+def test_s2_canonical_uv_and_decode_roundtrip():
+    """Canonical faceXYZtoUV: u,v bounded by the dominant axis on every
+    face (a face-4 u=y/x bug once made |u| unbounded there), decode is
+    the exact inverse of encode, and level-0 face tokens are the
+    canonical 1/3/5/7/9/b."""
+    rng = np.random.default_rng(5)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 2000)))
+    lon = rng.uniform(-180, 180, 2000)
+    x, y, z = s2.latlon_to_xyz(lat, lon)
+    _, u, v = s2.xyz_to_face_uv(x, y, z)
+    assert float(np.abs(u).max()) <= 1.0 + 1e-12
+    assert float(np.abs(v).max()) <= 1.0 + 1e-12
+    for level in (0, 4, 11):
+        cells = np.unique(s2.cell_id(lat, lon, level))[:200]
+        for c in cells:
+            face, i, j, lv = s2.decode(int(c))
+            assert lv == level
+            back = int(s2.face_ij_to_cell_id(
+                np.array([face]), np.array([i]), np.array([j]), level)[0])
+            assert back == int(c)
+            la, lo = s2.cell_center_latlon(int(c))
+            assert int(s2.cell_id(np.array([la]), np.array([lo]), level)[0]) == int(c)
+    assert [s2.cell_token((f << 61) | (1 << 60)) for f in range(6)] == \
+        ["1", "3", "5", "7", "9", "b"]
+
+
+def test_s2_children_partition_parent():
+    c = int(s2.cell_id(np.array([52.5]), np.array([13.4]), 8)[0])
+    kids = s2.children(c)
+    lo0, hi0 = s2.range_min_max(c)
+    ranges = sorted(s2.range_min_max(k) for k in kids)
+    assert ranges[0][0] == lo0 and ranges[-1][1] == hi0
+    assert all(ranges[q + 1][0] == ranges[q][1] + 2 for q in range(3))
+
+
+def test_s2_cover_superset_and_full():
+    """S2 compact cover: id-range membership covers every inside point;
+    FULL cells' centers are inside; face-4 region works (regression)."""
+    from openair_spark.ops.s2tiles import s2_cover
+
+    for ring in (
+        np.array([[9.5, 49.5], [11.5, 49.5], [11.5, 51.2], [9.5, 51.2], [9.5, 49.5]]),
+        np.array([[-95.0, -5.0], [-85.0, -5.0], [-85.0, 5.0], [-95.0, 5.0], [-95.0, -5.0]]),
+    ):
+        cov = s2_cover(ring, max_level=9)
+        assert any(full for _, _, full in cov)
+        ranges = sorted(s2.range_min_max(c) for c, _, _ in cov)
+        los = np.array([r[0] for r in ranges], dtype=np.uint64)
+        his = np.array([r[1] for r in ranges], dtype=np.uint64)
+        rng = np.random.default_rng(3)
+        w, s_, e, n = ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max()
+        plon = rng.uniform(w + 0.05, e - 0.05, 300)
+        plat = rng.uniform(s_ + 0.05, n - 0.05, 300)
+        leaves = np.asarray(s2.cell_id(plat, plon, 30), dtype=np.int64).astype(np.uint64)
+        for leaf in leaves:
+            i = int(np.searchsorted(los, leaf, side="right")) - 1
+            assert i >= 0 and leaf <= his[i]
+        from openair_spark.index.pip import points_in_ring
+        fc = [s2.cell_center_latlon(c) for c, _, full in cov if full]
+        if fc:
+            inside = points_in_ring(np.array([p[1] for p in fc]),
+                                    np.array([p[0] for p in fc]), ring)
+            assert inside.all()
