@@ -285,9 +285,16 @@ def _derive():
             # pentagon: home must see the vertex at the I corner (2,0,0) —
             # the overage special case rotates about origin (maxDim,0,0),
             # i.e. that corner. Lowest qualifying face (bc 4 -> face 0,
-            # matching the published table).
+            # matching the published table; bc 14 -> face 11 likewise).
             icorner = sorted(m for m in c["members"] if m[1:] == (2, 0, 0))
             home.append(icorner[0])
+        elif len(c["members"]) == 2:
+            # edge-midpoint cell: the published table picks the face that
+            # sees the cell at the IJ midpoint (1,1,0) — verified against
+            # base cells 1, 5 and 13; edges with no IJ side fall back to
+            # the lowest face (no anchor known; self-consistent either way)
+            ij_side = sorted(m for m in c["members"] if m[1:] == (1, 1, 0))
+            home.append(ij_side[0] if ij_side else sorted(c["members"])[0])
         else:
             home.append(sorted(c["members"])[0])
 
