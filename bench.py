@@ -89,7 +89,7 @@ def main() -> None:
     bench("parse_features", parse_run)
     feats = spark.read.parquet(feats_path)
 
-    # q2: compact tile covers (quadkey + S2 + hexgrid ids) over features
+    # q2: compact tile covers (quadkey cover + S2/H3 ids) over features
     bench("tile_cover", lambda: polygon_tiles(feats).count())
 
     # q3: PIP join of a synthetic point cloud vs parsed polygons
@@ -120,6 +120,26 @@ def main() -> None:
         bench(name, lambda qd=qd: qd.spark_fn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+
+    # extra legs (NOT in the headline total — keeps `value` comparable
+    # across rounds): true H3 + S2 compact covers, ANN bucket join
+    extra_t: dict[str, float] = {}
+    extra_n: dict[str, int] = {}
+
+    def bench_extra(name: str, fn) -> None:
+        t0 = time.time()
+        extra_n[name] = int(fn())
+        extra_t[name] = round(time.time() - t0, 3)
+
+    from openair_spark.ops.h3tiles import h3_polygon_tiles
+    from openair_spark.ops.s2tiles import s2_polygon_tiles
+
+    # res cap 6 for the bench leg: boundary refinement grows ~7x per res
+    # level; full 5-9 depth is a parameter (see parse_h3_cover at sf0.01)
+    bench_extra("h3_cover", lambda: h3_polygon_tiles(feats, 5, 6).count())
+    bench_extra("s2_cover", lambda: s2_polygon_tiles(feats, max_level=9).count())
+    bench_extra("ann_bucket_join",
+                lambda: catalog["ann_bucket_join"].spark_fn(spark, sf_dir).count())
     blocks = counts["parse_features"]
     pip_rows = counts["pip_join"]
     throughput = {
@@ -136,6 +156,8 @@ def main() -> None:
         "n_pages": n_pages,
         "rows": counts,
         "throughput": throughput,
+        "extra_queries": extra_t,
+        "extra_rows": extra_n,
     }))
     spark.stop()
 
