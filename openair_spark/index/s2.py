@@ -56,8 +56,9 @@ def xyz_to_face_uv(x, y, z):
     #   f3 (-x): ( z/x,  y/x)   f4 (-y): ( z/y, -x/y)   f5 (-z): (-y/z, -x/z)
     # the dominant axis is the denominator on every face, so u, v are
     # always within [-1, 1]; np.select evaluates every branch, so
-    # non-selected zero denominators must not warn
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # non-selected zero/near-zero denominators must not warn (overflow
+    # included: a tiny non-selected denominator overflows the divide)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(
             [face == 0, face == 1, face == 2, face == 3, face == 4],
             [y / x, -x / y, -x / z, z / x, z / y],  # face 5 handled by default

@@ -14,8 +14,8 @@ independently and idempotently:
 write-then-commit ordering means a crash can only leave a partition
 re-runnable, never half-recorded.
 
-The checksum is an order-insensitive xor-of-row-hashes so lineage can
-be verified without re-reading outputs in order.
+The checksum is an order-insensitive wrapping SUM of per-row hashes so
+lineage can be verified without re-reading outputs in order.
 """
 
 from __future__ import annotations
@@ -46,7 +46,7 @@ def done_partitions(spark: SparkSession, manifest_path: str) -> set[str]:
     }
 
 
-def dataset_checksum(df: DataFrame) -> int:
+def dataset_checksum(df: DataFrame) -> tuple[int, int]:
     """Order-insensitive checksum: wrapping SUM of per-row hashes
     (sum is commutative, so row order never changes the value)."""
     row = df.select(

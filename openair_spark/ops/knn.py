@@ -151,6 +151,12 @@ def knn_join(points: DataFrame, centroids: DataFrame, k: int = 3,
         .where(F.col("rank") <= k)
         .drop("cell", "c_lat", "c_lon")
     )
+    # ranked feeds BOTH the safety aggregate and the safe-hit anti-join;
+    # without a persist the candidate join + window execute twice
+    # (the round-2 bench regression). Bounded: <= k rows per point.
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- exactness margin: geodesic distance from the point to the
     # nearest edge of its ring window, conservatively min of the lat

@@ -57,10 +57,21 @@ def _classify(cell: int, ring: np.ndarray, leaf_ids: np.ndarray,
     ring_cx = (w + e) / 2.0
     corners[:, 0] += 360.0 * np.round((ring_cx - corners[:, 0]) / 360.0)
     if corners[:, 0].max() - corners[:, 0].min() > 180.0:
-        # still spanning >180 deg after unwrap: the cell contains a pole.
-        # Rings are lon/lat-local (engine-wide: no pole crossing), so the
-        # only way it intersects is holding a ring vertex.
-        return PARTIAL if vertex_in else OUTSIDE
+        # still spanning >180 deg after unwrap: the cell holds (or hugs)
+        # a pole. Rings are lon/lat-local (engine-wide: no pole
+        # crossing), but a ring EDGE can clip such a cell with no ring
+        # vertex inside it (face boundaries are curved in lon/lat — e.g.
+        # a mid-latitude ring near a face corner at lat ~35, lon 45).
+        # |lat| over an S2 cell is extremized at a uv-corner (|lat| =
+        # atan(1/hypot(u', v')) and hypot is convex), so the corner
+        # latitudes bound the cell's reach exactly: OUTSIDE only when
+        # the ring's latitude band provably cannot reach the cell;
+        # otherwise descend (children leave the pole branch quickly).
+        if vertex_in:
+            return PARTIAL
+        if corners[:, 1].mean() > 0.0:  # north-side cell
+            return PARTIAL if n >= corners[:, 1].min() else OUTSIDE
+        return PARTIAL if s_ <= corners[:, 1].max() else OUTSIDE
     c = corners.mean(axis=0)
     b = c + (corners - c) * (1.0 + _CURVATURE_DILATION)
     if not vertex_in:

@@ -240,6 +240,11 @@ def test_s2_cover_superset_and_full():
     for ring in (
         np.array([[9.5, 49.5], [11.5, 49.5], [11.5, 51.2], [9.5, 51.2], [9.5, 49.5]]),
         np.array([[-95.0, -5.0], [-85.0, -5.0], [-85.0, 5.0], [-95.0, 5.0], [-95.0, -5.0]]),
+        # face-corner clip regression: this ring has no vertex on face 2
+        # but its top edge clips face 2's corner region near (lon 45,
+        # lat 35.26); the pole branch used to blanket-classify the whole
+        # face-2 subtree OUTSIDE, leaving points near (45, 35.8) uncovered
+        np.array([[40.0, 36.0], [50.0, 36.0], [50.0, 30.0], [40.0, 30.0], [40.0, 36.0]]),
     ):
         cov = s2_cover(ring, max_level=9)
         assert any(full for _, _, full in cov)
