@@ -273,18 +273,20 @@ def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _parse_h3_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True H3 compact cover (north star: polygons tiled into H3 res 5-9
-    via a compact-cover algorithm). Teeth: every parsed polygon yields
-    >=1 cover row, and FULL cells exist (compactness is real)."""
+    """True H3 compact cover at the full north-star depth (res 5-9).
+    Teeth: every parsed polygon yields >=1 cover row, FULL cells exist
+    (compactness is real), and res-9 leaves exist (depth is real)."""
     from openair_spark.ops.h3tiles import h3_polygon_tiles
     from openair_spark.spark.pipeline import parse_features
 
     feats = parse_features(_pages_for(spark, sf_dir)).cache()
-    tiles = h3_polygon_tiles(feats, min_res=5, max_res=7).cache()
+    tiles = h3_polygon_tiles(feats, min_res=5, max_res=9).cache()
     n_polys = feats.where(
         F.col("success") & (F.col("geometry_type") == "Polygon")).count()
     n_covered = tiles.select("url", "airspace_idx").distinct().count()
     assert n_covered == n_polys, (n_covered, n_polys)
+    n_res9 = tiles.where(F.col("h3_res") == 9).count()
+    assert n_res9 > 0, "no res-9 leaves: mandate depth not exercised"
     feats.unpersist()
     return tiles
 

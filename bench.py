@@ -134,9 +134,10 @@ def main() -> None:
     from openair_spark.ops.h3tiles import h3_polygon_tiles
     from openair_spark.ops.s2tiles import s2_polygon_tiles
 
-    # res cap 6 for the bench leg: boundary refinement grows ~7x per res
-    # level; full 5-9 depth is a parameter (see parse_h3_cover at sf0.01)
-    bench_extra("h3_cover", lambda: h3_polygon_tiles(feats, 5, 6).count())
+    # full north-star depth (res 5-9): affordable since round 3's
+    # level-batched classification (one vectorized boundary+classify
+    # call per refinement level instead of per-cell Python)
+    bench_extra("h3_cover", lambda: h3_polygon_tiles(feats, 5, 9).count())
     bench_extra("s2_cover", lambda: s2_polygon_tiles(feats, max_level=9).count())
     bench_extra("ann_bucket_join",
                 lambda: catalog["ann_bucket_join"].spark_fn(spark, sf_dir).count())

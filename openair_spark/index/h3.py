@@ -32,9 +32,12 @@ derived at import time from that geometry:
 
 Engine surface: `latlng_to_cell` (vectorized, the hot path),
 `cell_to_latlng`, `cell_to_parent` / `cell_to_children` (bit math),
-`grid_disk` (geometric BFS via edge-midpoint probes), `cell_boundary`
-(home-plane hexagon; pentagon boundaries are approximate — documented),
-`is_pentagon`, `cell_to_string`.
+`grid_disk` (geometric BFS via edge-midpoint probes), `cell_boundary` /
+`cells_to_boundaries` (substrate-exact vertices, correct across
+icosahedron edges; pentagons keep a documented k-vertex collapse),
+`is_pentagon`, `cell_to_string`, plus vectorized whole-level kernels
+for the cover ops: `cells_to_face_ijk`, `cells_to_latlng`,
+`cells_to_children_next`, `is_pentagon_arrays`.
 
 North rule: polygons tile into H3 res 5-9 (ops/tiling.py).
 """
@@ -231,10 +234,11 @@ def seed_tables(t) -> None:
     Derivation + calibration costs ~2.5 s once per process; kernels that
     fan out across many Python workers capture `_tables()` driver-side
     (15 KB pickled) and seed it here instead of paying it per worker."""
-    global _TABLES, _VLUT
+    global _TABLES, _VLUT, _ILUT
     if _TABLES is None:
         _TABLES = t
         _VLUT = None
+        _ILUT = None
 
 
 def _tables():
@@ -860,28 +864,13 @@ def cell_to_latlng(h: int) -> tuple:
 
 
 def cell_boundary(h: int) -> list:
-    """Approximate boundary vertices [(lon, lat) degrees].
-
-    Vertices are the hexagon corners in the center's face plane (Class
-    III lattices included); cells crossing an icosahedron edge and the
-    12 pentagons get slightly approximate corners (the published
-    algorithm re-projects each vertex on its own face via a substrate
-    grid) — adequate for neighbor probing and diagnostics, documented
-    divergence."""
-    f, i, j, k, res = _h3_to_face_ijk(h)
-    x, y = _ijk_to_hex2d(i, j, k)
-    out = []
-    rad = 1.0 / math.sqrt(3.0)
-    # the hex2d frame already carries the Class III lattice rotation
-    # (applied inside the projection), so corners sit at exactly
-    # 30 + k*60 deg in-frame at every resolution
-    for c in range(6):
-        ang = math.pi / 6.0 + c * math.pi / 3.0
-        vx = x + rad * math.cos(ang)
-        vy = y + rad * math.sin(ang)
-        lat, lon = _hex2d_to_geo(vx, vy, f, res)
-        out.append([math.degrees(lon), math.degrees(lat)])
-    return out
+    """Boundary vertices [(lon, lat) degrees], substrate-exact: each
+    vertex is re-projected on its own face (published algorithm — see
+    cells_to_boundaries), so cells crossing an icosahedron edge get
+    exact corners. Pentagons return 6 rows with the nonexistent k-side
+    vertex collapsed onto its neighbor (degenerate edge)."""
+    b = cells_to_boundaries(np.array([int(h)], dtype=np.int64))[0]
+    return [[float(lon), float(lat)] for lon, lat in b]
 
 
 def grid_neighbors(h: int) -> list:
@@ -929,3 +918,373 @@ def base_cell_centers() -> list:
     """(lat, lon) degrees of the 122 base cells, index = base cell number."""
     return [(math.degrees(la), math.degrees(lo))
             for la, lo in _tables()["centers_geo"]]
+
+
+# ------------------------------------------ vectorized inverse + boundaries
+#
+# The cover kernels (ops/h3tiles.py) classify whole refinement levels at
+# once; per-cell Python calls into _h3_to_face_ijk / cell_boundary were
+# the round-2 profile's hot spot (res 9 unaffordable). Everything below
+# is the same published algorithm expressed over numpy arrays, plus the
+# substrate-grid boundary (faceijk.c _faceIjkToCellBoundary, re-derived)
+# that makes vertices exact across icosahedron edges.
+
+
+def _down_ap3_arrays(i, j, k):
+    # res r unit vectors in the aperture-3 res r+1 grid:
+    # iVec (2,0,1)  jVec (1,2,0)  kVec (0,1,2)
+    return _normalize_ijk_arrays(2 * i + j, 2 * j + k, i + 2 * k)
+
+
+def _down_ap3r_arrays(i, j, k):
+    # iVec (2,1,0)  jVec (0,2,1)  kVec (1,0,2)
+    return _normalize_ijk_arrays(2 * i + k, i + 2 * j, j + 2 * k)
+
+
+def _derive_vert_offsets():
+    """Hexagon vertex offsets of an origin-centered cell in the substrate
+    grid, derived from geometry (not copied tables): the 33r substrate is
+    3x finer, so class II vertices sit at radius sqrt(3), angles
+    30 + 60k deg; the class III substrate adds a 7r step (sqrt(7) finer,
+    rotated by asin(sqrt(3/28))), putting vertices at radius sqrt(21),
+    angles 30 + deg(M_AP7_ROT) + 60k. Rounding each exact position to
+    its lattice point reproduces the published vertsCII / vertsCIII."""
+    out = []
+    for rad, extra in ((math.sqrt(3.0), 0.0), (math.sqrt(21.0), M_AP7_ROT_RADS)):
+        vs = []
+        for c in range(6):
+            ang = math.pi / 6.0 + extra + c * math.pi / 3.0
+            x, y = rad * math.cos(ang), rad * math.sin(ang)
+            i, j, k = _hex2d_to_ijk_arrays(np.array([x]), np.array([y]))
+            vi, vj, vk = int(i[0]), int(j[0]), int(k[0])
+            # sanity: the lattice point reproduces the exact position
+            gx, gy = _ijk_to_hex2d(vi, vj, vk)
+            assert abs(gx - x) < 1e-9 and abs(gy - y) < 1e-9, (vi, vj, vk)
+            vs.append((vi, vj, vk))
+        out.append(np.array(vs, dtype=np.int64))
+    return out[0], out[1]
+
+
+_VERTS_CII, _VERTS_CIII = _derive_vert_offsets()
+
+_ILUT = None
+
+
+def _inv_luts(t):
+    """Flat numpy lookups for the vectorized inverse path: base-cell
+    homes and the face-neighbor overage transforms."""
+    global _ILUT
+    if _ILUT is not None:
+        return _ILUT
+    home = np.array(t["home"], dtype=np.int64)               # (122, 4)
+    pent = np.asarray(t["is_pent"], dtype=bool)
+    g_lut = np.zeros((20, 4), dtype=np.int64)
+    rot_lut = np.zeros((20, 4), dtype=np.int64)
+    tr_lut = np.zeros((20, 4, 3), dtype=np.int64)
+    adj_dir = np.full((20, 20), -1, dtype=np.int64)  # (face, nbr face) -> quad
+    for (f, quad), (g, trans, rot) in t["face_neighbors"].items():
+        g_lut[f, quad] = g
+        rot_lut[f, quad] = rot
+        tr_lut[f, quad] = trans
+        adj_dir[f, g] = quad
+    _ILUT = (home, pent, g_lut, rot_lut, tr_lut, adj_dir)
+    return _ILUT
+
+
+def _overage_pass_arrays(f, i, j, k, res_adj, pl4, substrate, t, allowed=None):
+    """One vectorized _adjust_overage_class_ii pass over row arrays.
+
+    Rows whose coordinates do not overflow their face (or are outside
+    `allowed`) pass through unchanged; `pl4` (optional bool mask) marks
+    pentagon-leading-4 rows needing the deleted-k-subsequence rotation.
+    Returns (moved_mask, f, i, j, k)."""
+    _, _, g_lut, rot_lut, tr_lut, _ = _inv_luts(t)
+    pw = 7 ** (res_adj // 2)
+    max_dim = (6 if substrate else 2) * pw
+    over = (i + j + k) > max_dim
+    if allowed is not None:
+        over = over & allowed
+    if not bool(over.any()):
+        return over, f, i, j, k
+    quad = np.where(k > 0, np.where(j > 0, _QUAD_JK, _QUAD_KI), _QUAD_IJ)
+    if pl4 is not None:
+        m = over & pl4 & (quad == _QUAD_KI)
+        if bool(m.any()):
+            i, j, k = i.copy(), j.copy(), k.copy()
+            oi = max_dim[m] if np.ndim(max_dim) else max_dim
+            di, dj, dk = _normalize_ijk_arrays(
+                (i[m] - oi) + j[m], j[m] + k[m], (i[m] - oi) + k[m])
+            i[m], j[m], k[m] = di + oi, dj, dk
+    gf = g_lut[f, quad]
+    rot = np.where(over, rot_lut[f, quad], 0)
+    ni, nj, nk = i.copy(), j.copy(), k.copy()
+    for _ in range(5):
+        mm = rot > 0
+        if not bool(mm.any()):
+            break
+        # raw ccw rotation + min-subtraction (keep sum geometry)
+        ri, rj, rk = ni[mm] + nk[mm], ni[mm] + nj[mm], nj[mm] + nk[mm]
+        mn = np.minimum(np.minimum(ri, rj), rk)
+        ni[mm], nj[mm], nk[mm] = ri - mn, rj - mn, rk - mn
+        rot = rot - mm.astype(np.int64)
+    unit = pw * (3 if substrate else 1)
+    ti, tj, tk = _normalize_ijk_arrays(
+        ni + tr_lut[f, quad, 0] * unit,
+        nj + tr_lut[f, quad, 1] * unit,
+        nk + tr_lut[f, quad, 2] * unit)
+    return (over, np.where(over, gf, f), np.where(over, ti, i),
+            np.where(over, tj, j), np.where(over, tk, k))
+
+
+def cells_to_face_ijk(cells, t=None):
+    """Vectorized _h3_to_face_ijk: int64 cell ids (mixed res allowed) ->
+    (face, i, j, k, res) arrays, coordinates in each cell's res-class
+    frame on its (overage-adjusted) face."""
+    if t is None:
+        t = _tables()
+    home, pent_lut, _, _, _, _ = _inv_luts(t)
+    hh = np.asarray(cells, dtype=np.int64).astype(np.uint64)
+    n = len(hh)
+    res = ((hh >> np.uint64(_RES_OFFSET)) & np.uint64(0xF)).astype(np.int64)
+    bc = ((hh >> np.uint64(_BC_OFFSET)) & np.uint64(0x7F)).astype(np.int64)
+    max_r = int(res.max()) if n else 0
+    digs = np.zeros((n, max_r + 1), dtype=np.int64)
+    for r in range(1, max_r + 1):
+        d = ((hh >> np.uint64(_DIGIT_BITS * (MAX_RES - r))) & np.uint64(7))
+        digs[:, r] = np.where(r <= res, d.astype(np.int64), 0)
+    lead = np.zeros(n, dtype=np.int64)
+    for r in range(1, max_r + 1):
+        m = (lead == 0) & (digs[:, r] != 0)
+        lead[m] = digs[m, r]
+    pent = pent_lut[bc]
+    m5 = pent & (lead == 5)
+    if bool(m5.any()):
+        digs[m5] = _ROT60_CW[digs[m5]]
+        lead = np.where(m5, _ROT60_CW[lead], lead)
+    f = home[bc, 0]
+    i, j, k = home[bc, 1].copy(), home[bc, 2].copy(), home[bc, 3].copy()
+    poss = pent | ~((res == 0) | ((i == 0) & (j == 0) & (k == 0)))
+    for r in range(1, max_r + 1):
+        act = r <= res
+        if r % 2 == 1:
+            ni, nj, nk = _down_ap7_arrays(i, j, k)
+        else:
+            ni, nj, nk = _down_ap7r_arrays(i, j, k)
+        u = _UNIT_IJK[digs[:, r]]
+        ni, nj, nk = _normalize_ijk_arrays(ni + u[:, 0], nj + u[:, 1], nk + u[:, 2])
+        i = np.where(act, ni, i)
+        j = np.where(act, nj, j)
+        k = np.where(act, nk, k)
+    oi, oj, ok = i, j, k
+    odd = (res % 2) == 1
+    di, dj, dk = _down_ap7r_arrays(i, j, k)
+    i2 = np.where(odd, di, i)
+    j2 = np.where(odd, dj, j)
+    k2 = np.where(odd, dk, k)
+    res_adj = res + odd.astype(np.int64)
+    pl4 = pent & (lead == 4) & poss
+    moved, f2, i2, j2, k2 = _overage_pass_arrays(
+        f, i2, j2, k2, res_adj, pl4, False, t, allowed=poss)
+    # pentagon homes can overflow repeatedly (scalar: while-loop); rerun
+    # the pass for moved pentagon rows until none still overflow
+    rerun = moved & pent
+    for _ in range(5):
+        if not bool(rerun.any()):
+            break
+        again, f2, i2, j2, k2 = _overage_pass_arrays(
+            f2, i2, j2, k2, res_adj, None, False, t, allowed=rerun)
+        rerun = again
+    ui, uj, uk = _up_ap7r_arrays(i2, j2, k2)
+    i_f = np.where(moved, np.where(odd, ui, i2), oi)
+    j_f = np.where(moved, np.where(odd, uj, j2), oj)
+    k_f = np.where(moved, np.where(odd, uk, k2), ok)
+    f_f = np.where(moved, f2, f)
+    return f_f, i_f, j_f, k_f, res
+
+
+def _hex2d_to_geo_arrays(x, y, face, res, substrate=False):
+    """Vectorized _hex2d_to_geo; `face`/`res` are per-point arrays.
+    With substrate=True the input lives in the 33r(7r) substrate grid of
+    a class II `res` (always even there), 3x finer in scale."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    face = np.asarray(face, dtype=np.int64)
+    res = np.asarray(res, dtype=np.int64)
+    r = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    r = r / np.power(M_SQRT7, res.astype(np.float64))
+    if substrate:
+        r = r / 3.0
+    r = np.arctan(r * RES0_U_GNOMONIC)
+    theta = np.where(res % 2 == 1, theta + M_AP7_ROT_RADS, theta)
+    az = _pos_angle(FACE_AXES_AZ_I[face] - theta)
+    lat0 = FACE_CENTER_GEO[face, 0]
+    lon0 = FACE_CENTER_GEO[face, 1]
+    slat = np.sin(lat0) * np.cos(r) + np.cos(lat0) * np.sin(r) * np.cos(az)
+    lat2 = np.arcsin(np.clip(slat, -1.0, 1.0))
+    lon2 = lon0 + np.arctan2(np.sin(az) * np.sin(r) * np.cos(lat0),
+                             np.cos(r) - np.sin(lat0) * np.sin(lat2))
+    lon2 = np.fmod(lon2 + 3.0 * math.pi, 2.0 * math.pi) - math.pi
+    small = r < EPSILON
+    return np.where(small, lat0, lat2), np.where(small, lon0, lon2)
+
+
+def is_pentagon_arrays(cells, t=None):
+    if t is None:
+        t = _tables()
+    _, pent_lut, _, _, _, _ = _inv_luts(t)
+    hh = np.asarray(cells, dtype=np.int64).astype(np.uint64)
+    res = ((hh >> np.uint64(_RES_OFFSET)) & np.uint64(0xF)).astype(np.int64)
+    bc = ((hh >> np.uint64(_BC_OFFSET)) & np.uint64(0x7F)).astype(np.int64)
+    lead = np.zeros(len(hh), dtype=np.int64)
+    max_r = int(res.max()) if len(hh) else 0
+    for r in range(1, max_r + 1):
+        d = ((hh >> np.uint64(_DIGIT_BITS * (MAX_RES - r))) & np.uint64(7))
+        d = np.where(r <= res, d.astype(np.int64), 0)
+        m = (lead == 0) & (d != 0)
+        lead[m] = d[m]
+    return pent_lut[bc] & (lead == 0)
+
+
+def cells_to_latlng(cells, t=None):
+    """Vectorized cell centers -> (lat, lon) degree arrays."""
+    if t is None:
+        t = _tables()
+    f, i, j, k, res = cells_to_face_ijk(cells, t)
+    x, y = _ijk_to_hex2d(i, j, k)
+    lat, lon = _hex2d_to_geo_arrays(x, y, f, res)
+    return np.degrees(lat), np.degrees(lon)
+
+
+def cells_to_boundaries(cells, t=None, distortion=False):
+    """Vectorized exact cell boundaries [lon, lat] degrees:
+    (n, 6, 2) by default, (n, 12, 2) with `distortion=True`.
+
+    Published substrate algorithm (uber/h3 faceijk.c
+    _faceIjkToCellBoundary — re-derived, no code copied): every vertex
+    is a lattice point of the class II aperture-33r(7r) substrate grid
+    (3x finer; vertex offsets derived in _derive_vert_offsets), moved
+    onto ITS OWN face by the class II overage transform before
+    projecting. Vertices of cells crossing an icosahedron edge are
+    therefore exact — the round-2 "off near face seams" caveat is gone.
+
+    With distortion=True, class III cells whose boundary edge crosses an
+    icosahedron edge additionally get the published distortion vertex at
+    the face-edge intersection (slot 2v precedes vertex slot 2v+1;
+    absent distortion slots duplicate the following vertex — degenerate,
+    harmless to point-in-polygon / crossing tests). Remaining documented
+    approximation: a pentagon's nonexistent k-side vertex is collapsed
+    onto its ccw neighbor and pentagon distortion vertices are skipped."""
+    if t is None:
+        t = _tables()
+    cells = np.asarray(cells, dtype=np.int64)
+    n = len(cells)
+    f, i, j, k, res = cells_to_face_ijk(cells, t)
+    # center into the substrate grid (33r, plus 7r for class III)
+    i, j, k = _down_ap3_arrays(i, j, k)
+    i, j, k = _down_ap3r_arrays(i, j, k)
+    odd = (res % 2) == 1
+    di, dj, dk = _down_ap7r_arrays(i, j, k)
+    i = np.where(odd, di, i)
+    j = np.where(odd, dj, j)
+    k = np.where(odd, dk, k)
+    adj_res = res + odd.astype(np.int64)
+    offs = np.where(odd[:, None, None], _VERTS_CIII[None, :, :],
+                    _VERTS_CII[None, :, :])
+    vi = (i[:, None] + offs[:, :, 0]).ravel()
+    vj = (j[:, None] + offs[:, :, 1]).ravel()
+    vk = (k[:, None] + offs[:, :, 2]).ravel()
+    vi, vj, vk = _normalize_ijk_arrays(vi, vj, vk)
+    pvi, pvj, pvk = vi.copy(), vj.copy(), vk.copy()  # pre-overage (center face)
+    vf = np.repeat(f, 6)
+    vres = np.repeat(adj_res, 6)
+    for _ in range(4):
+        moved, vf, vi, vj, vk = _overage_pass_arrays(
+            vf, vi, vj, vk, vres, None, True, t)
+        if not bool(moved.any()):
+            break
+    x, y = _ijk_to_hex2d(vi, vj, vk)
+    lat, lon = _hex2d_to_geo_arrays(x, y, vf, vres, substrate=True)
+    verts = np.stack([np.degrees(lon), np.degrees(lat)],
+                     axis=-1).reshape(n, 6, 2)
+    pent = is_pentagon_arrays(cells, t)
+    if bool(pent.any()):
+        verts[pent, 5] = verts[pent, 4]
+    if not distortion:
+        return verts
+    # ---- class III face-edge distortion vertices (published algorithm):
+    # when consecutive vertices land on different faces, the cell edge
+    # crosses an icosahedron edge; add the intersection of the
+    # (pre-overage, center-face substrate) chord with the face triangle
+    # edge, projected from the center face.
+    out = np.empty((n, 12, 2), dtype=np.float64)
+    out[:, 1::2] = verts
+    out[:, 0::2] = verts  # default: duplicate the following vertex
+    vface = vf.reshape(n, 6)
+    on_edge = ((vi + vj + vk) == 6 * 7 ** (vres // 2)).reshape(n, 6)
+    _, _, _, _, _, adj_dir = _inv_luts(t)
+    px, py = _ijk_to_hex2d(pvi, pvj, pvk)
+    px, py = px.reshape(n, 6), py.reshape(n, 6)
+    prev = np.arange(-1, 5) % 6  # vertex preceding each slot
+    cross = (odd[:, None] & (vface != vface[:, prev])
+             & ~on_edge[:, prev] & ~pent[:, None])
+    ci, cv = np.nonzero(cross)
+    if len(ci):
+        pw = 7 ** (adj_res[ci] // 2)
+        cf = f[ci]
+        last_f = vface[ci, (cv - 1) % 6]
+        this_f = vface[ci, cv]
+        face2 = np.where(last_f == cf, this_f, last_f)
+        quad = adj_dir[cf, face2]
+        # defensive: keep only crossings onto a face adjacent to the
+        # center face (always true for non-pentagon cells)
+        ok = quad > 0
+        if not bool(ok.all()):
+            ci, cv, pw, cf, quad = ci[ok], cv[ok], pw[ok], cf[ok], quad[ok]
+        # face triangle corners in the substrate hex2d frame: i-corner
+        # (maxDim,0,0), j-corner (0,maxDim,0), k-corner (0,0,maxDim),
+        # substrate-scaled by 3 (maxDim = 2*pw)
+        c_i = np.stack([6.0 * pw, np.zeros(len(ci))], axis=-1)
+        c_j = np.stack([-3.0 * pw, 6.0 * M_SIN60 * pw], axis=-1)
+        c_k = np.stack([-3.0 * pw, -6.0 * M_SIN60 * pw], axis=-1)
+        e0 = np.where((quad == _QUAD_IJ)[:, None], c_i,
+                      np.where((quad == _QUAD_JK)[:, None], c_j, c_k))
+        e1 = np.where((quad == _QUAD_IJ)[:, None], c_j,
+                      np.where((quad == _QUAD_JK)[:, None], c_k, c_i))
+        p0 = np.stack([px[ci, (cv - 1) % 6], py[ci, (cv - 1) % 6]], axis=-1)
+        p1 = np.stack([px[ci, cv], py[ci, cv]], axis=-1)
+        d = ((p1[:, 0] - p0[:, 0]) * (e1[:, 1] - e0[:, 1])
+             - (p1[:, 1] - p0[:, 1]) * (e1[:, 0] - e0[:, 0]))
+        tnum = ((e0[:, 0] - p0[:, 0]) * (e1[:, 1] - e0[:, 1])
+                - (e0[:, 1] - p0[:, 1]) * (e1[:, 0] - e0[:, 0]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = tnum / d
+        ix = p0[:, 0] + tt * (p1[:, 0] - p0[:, 0])
+        iy = p0[:, 1] + tt * (p1[:, 1] - p0[:, 1])
+        dla, dlo = _hex2d_to_geo_arrays(ix, iy, cf, adj_res[ci], substrate=True)
+        out[ci, 2 * cv, 0] = np.degrees(dlo)
+        out[ci, 2 * cv, 1] = np.degrees(dla)
+    return out
+
+
+def cells_to_children_next(cells, t=None):
+    """All direct (res+1) children of each input cell, concatenated as
+    one int64 array. Pentagon parents skip the K child (deleted
+    subsequence) — 6 children instead of 7."""
+    if t is None:
+        t = _tables()
+    cells = np.asarray(cells, dtype=np.int64)
+    hh = cells.astype(np.uint64)
+    res = ((hh >> np.uint64(_RES_OFFSET)) & np.uint64(0xF)).astype(np.int64)
+    if bool((res >= MAX_RES).any()):
+        raise ValueError("cell already at max res")
+    child_res = (res + 1).astype(np.uint64)
+    base = (hh & ~(np.uint64(0xF) << np.uint64(_RES_OFFSET))) | (
+        child_res << np.uint64(_RES_OFFSET))
+    shift = np.uint64(_DIGIT_BITS) * (np.uint64(MAX_RES) - child_res)
+    base = base & ~(np.uint64(7) << shift)
+    kids = base[:, None] | (np.arange(7, dtype=np.uint64)[None, :] << shift[:, None])
+    keep = np.ones(kids.shape, dtype=bool)
+    pent = is_pentagon_arrays(cells, t)
+    keep[pent, K_DIGIT] = False
+    return kids[keep].astype(np.int64)

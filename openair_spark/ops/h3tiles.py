@@ -5,19 +5,23 @@ is tiled into H3 (res 5-9) ... via a compact-cover algorithm").
 BFS flood from the ring's vertex/centroid cells at `min_res`, classify
 each hexagon FULL / PARTIAL / OUTSIDE against the ring, keep FULL cells
 at their (coarsest) resolution — that IS the compact form — and refine
-PARTIAL cells through `cell_to_children` until `max_res`.
+PARTIAL cells through the children until `max_res`.
 
 `h3_polygon_tiles` runs the cover inside an Arrow-batched mapInPandas
 over the features DataFrame — narrow map, no shuffle; a mega-polygon
 becomes many bounded (h3_cell, res) rows (skew splitting), with a
 `max_cells` guard for hostile rings.
 
-Classification uses the hexagon boundary from index.h3.cell_boundary.
-Cells crossing an icosahedron edge (and the 12 pentagons per res) get
-slightly approximate corners there, so FULL/OUTSIDE verdicts within a
-corner-distortion band of a face seam can be off by one cell; the
-quadkey cover (index/cover.py), which drives the exact PIP joins, is
-unaffected. Documented divergence, acceptable for a tiling surface.
+Classification is LEVEL-BATCHED: one vectorized
+`index.h3.cells_to_boundaries` call per refinement level produces every
+candidate's 6 substrate-exact corners (exact across icosahedron edges —
+see index/h3.py), and the vertex-in-hex / corner-in-ring /
+segment-crossing tests run on stacked arrays. Round 2 classified each
+cell from a Python loop, which made the mandate depth (res 9)
+unaffordable; the batched kernel runs the full res 5-9 sweep.
+Remaining boundary approximation (documented in cells_to_boundaries):
+pentagon k-vertex collapse and omitted class III face-seam distortion
+vertices — both absorbed by the classification dilation.
 """
 
 from __future__ import annotations
@@ -34,22 +38,6 @@ from ..index.pip import points_in_ring
 
 OUTSIDE, PARTIAL, FULL = 0, 1, 2
 
-
-def _segments_cross(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
-    """Strict proper-crossing test, vectorized over the (A, B) pair grid.
-    A*: (n,) arrays; B*: (m,) arrays -> (n, m) bool."""
-    def orient(px, py, qx, qy, rx, ry):
-        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
-
-    ax1, ay1, ax2, ay2 = (v[:, None] for v in (ax1, ay1, ax2, ay2))
-    bx1, by1, bx2, by2 = (v[None, :] for v in (bx1, by1, bx2, by2))
-    d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
-    d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
-    d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
-    d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
-    return (d1 * d2 < 0) & (d3 * d4 < 0)
-
-
 # Aperture-7 children overhang their parent hexagon (the H3 hierarchy is
 # an index relation, not territory containment): per level the overhang
 # is a few percent of the circumradius, ~5% cumulative over all deeper
@@ -60,33 +48,108 @@ def _segments_cross(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
 # (cover membership = ancestor of the point's max_res cell) require.
 _CHILD_OVERHANG_DILATION = 0.15
 
+# classification works on stacked (m, 6, R) orientation matrices; chunk
+# the cell axis to bound worker memory on long rings
+_CLASSIFY_CHUNK = 4096
 
-def _classify(cell: int, ring: np.ndarray, dilate: float = 0.0) -> int:
-    """FULL / PARTIAL / OUTSIDE verdict of one H3 cell vs a closed ring."""
-    b = np.asarray(h3.cell_boundary(cell), dtype=np.float64)  # (6, 2) lon/lat
+
+def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
+                    dilate: float = 0.0) -> np.ndarray:
+    """FULL / PARTIAL / OUTSIDE verdicts of many H3 cells vs one closed
+    ring. `bnds` is (n, 6, 2) [lon, lat]; returns (n,) int8."""
+    n = len(bnds)
+    verdict = np.zeros(n, dtype=np.int8)
+    if n == 0:
+        return verdict
+    b = bnds
+    # unwrap boundary longitudes toward the ring (antimeridian safety,
+    # mirroring the S2 cover) — per cell, using its mean longitude
+    ring_cx = (float(ring[:, 0].min()) + float(ring[:, 0].max())) / 2.0
+    shift = 360.0 * np.round((ring_cx - b[:, :, 0].mean(axis=1)) / 360.0)
+    if np.any(shift):
+        b = b.copy()
+        b[:, :, 0] += shift[:, None]
     if dilate:
-        c = b.mean(axis=0)
+        c = b.mean(axis=1, keepdims=True)
         b = c + (b - c) * (1.0 + dilate)
-    # ring vertices inside the hexagon? (convex: consistent orientation test)
-    hx1, hy1 = b[:, 0], b[:, 1]
-    hx2, hy2 = np.roll(b[:, 0], -1), np.roll(b[:, 1], -1)
-    cross = ((hx2 - hx1)[None, :] * (ring[:-1, 1][:, None] - hy1[None, :])
-             - (hy2 - hy1)[None, :] * (ring[:-1, 0][:, None] - hx1[None, :]))
-    ring_vert_in_hex = (np.all(cross >= 0, axis=1) | np.all(cross <= 0, axis=1)).any()
-    # hexagon corners inside the ring?
-    corners_in = points_in_ring(b[:, 0], b[:, 1], ring)
-    # edge crossings?
-    edges_cross = _segments_cross(
-        hx1, hy1, hx2, hy2,
-        ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]).any()
-    if edges_cross or ring_vert_in_hex:
-        return PARTIAL
-    if corners_in.all():
-        return FULL
-    if corners_in.any():
-        return PARTIAL  # grazing contact: stay a superset
-    # no contact: either fully outside, or the hex swallows the ring
-    return OUTSIDE
+    # cheap bbox rejection before the pair matrices
+    rw, re_ = float(ring[:, 0].min()), float(ring[:, 0].max())
+    rs, rn = float(ring[:, 1].min()), float(ring[:, 1].max())
+    near = ~((b[:, :, 0].max(axis=1) < rw) | (b[:, :, 0].min(axis=1) > re_)
+             | (b[:, :, 1].max(axis=1) < rs) | (b[:, :, 1].min(axis=1) > rn))
+    idx = np.nonzero(near)[0]
+    rx1, ry1 = ring[:-1, 0], ring[:-1, 1]
+    rx2, ry2 = ring[1:, 0], ring[1:, 1]
+    nv = b.shape[1]
+    sxmin, sxmax = np.minimum(rx1, rx2), np.maximum(rx1, rx2)
+    symin, symax = np.minimum(ry1, ry2), np.maximum(ry1, ry2)
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    for s in range(0, len(idx), _CLASSIFY_CHUNK):
+        sel = idx[s:s + _CLASSIFY_CHUNK]
+        hb = b[sel]                                   # (m, V, 2)
+        m = len(hb)
+        hx1, hy1 = hb[:, :, 0], hb[:, :, 1]           # (m, V)
+        hx2 = np.roll(hx1, -1, axis=1)
+        hy2 = np.roll(hy1, -1, axis=1)
+        cxmin, cxmax = hx1.min(axis=1), hx1.max(axis=1)
+        cymin, cymax = hy1.min(axis=1), hy1.max(axis=1)
+        # proper edge crossings — only (cell, ring segment) pairs whose
+        # bboxes overlap can cross; gather those pairs (typically a few
+        # per cell, vs the full m x R grid)
+        pair = ((cxmin[:, None] <= sxmax[None, :])
+                & (cxmax[:, None] >= sxmin[None, :])
+                & (cymin[:, None] <= symax[None, :])
+                & (cymax[:, None] >= symin[None, :]))
+        pc, ps = np.nonzero(pair)
+        crossing = np.zeros(m, dtype=bool)
+        if len(pc):
+            ax1, ay1 = hx1[pc], hy1[pc]               # (P, V)
+            ax2, ay2 = hx2[pc], hy2[pc]
+            bx1, by1 = rx1[ps][:, None], ry1[ps][:, None]
+            bx2, by2 = rx2[ps][:, None], ry2[ps][:, None]
+            d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+            d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+            d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+            d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+            hit = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=1)
+            crossing[pc[hit]] = True
+        # ring vertices inside the cell polygon? Even-odd crossing
+        # number (the distorted boundary is not strictly convex), only
+        # for (cell, ring vertex) pairs with the vertex in the cell bbox
+        vpair = ((cxmin[:, None] <= rx1[None, :])
+                 & (cxmax[:, None] >= rx1[None, :])
+                 & (cymin[:, None] <= ry1[None, :])
+                 & (cymax[:, None] >= ry1[None, :]))
+        vc, vv = np.nonzero(vpair)
+        vert_in = np.zeros(m, dtype=bool)
+        if len(vc):
+            py_ = ry1[vv][:, None]
+            y_span = (hy1[vc] > py_) != (hy2[vc] > py_)   # (P2, V)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x_at = hx1[vc] + ((py_ - hy1[vc])
+                                  * (hx2 - hx1)[vc] / (hy2 - hy1)[vc])
+            inside = (((y_span & (rx1[vv][:, None] < x_at)).sum(axis=1)
+                       % 2) == 1)
+            vert_in[vc[inside]] = True
+        partial = crossing | vert_in
+        # cell corners inside the ring? Only needed for cells not
+        # already PARTIAL (at leaf levels most boundary cells are)
+        rows = np.nonzero(~partial)[0]
+        all_in = np.zeros(m, dtype=bool)
+        any_in = np.zeros(m, dtype=bool)
+        if len(rows):
+            corners_in = points_in_ring(
+                hx1[rows].ravel(), hy1[rows].ravel(), ring).reshape(-1, nv)
+            all_in[rows] = corners_in.all(axis=1)
+            any_in[rows] = corners_in.any(axis=1)
+        v = np.where(partial, PARTIAL,
+                     np.where(all_in, FULL,
+                              np.where(any_in, PARTIAL, OUTSIDE)))
+        verdict[sel] = v.astype(np.int8)
+    return verdict
 
 
 def h3_cover(ring, min_res: int = 5, max_res: int = 9,
@@ -99,12 +162,12 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
     (compact form) and guarantee every max_res descendant's territory is
     inside the ring (dilated classification absorbs child overhang);
     PARTIAL cells refine to children until max_res. `max_cells` bounds
-    hostile rings: when hit, remaining PARTIAL cells are emitted at
-    their current resolution (still a superset)."""
-    import math
-
+    hostile rings: when hit — in the BFS or in refinement — remaining
+    unclassified cells are emitted as PARTIAL leaves at their current
+    resolution, so the cover stays a superset."""
     ring = np.asarray(ring, dtype=np.float64)
-    # seed: cells of every ring vertex + centroid, plus one neighbor ring
+    t = h3._tables()
+    # seed: cells of every ring vertex + centroid, plus BFS flood
     # (flood-fill needs a connected superset seed touching the polygon)
     seeds = set(int(c) for c in np.atleast_1d(
         h3.latlng_to_cell(ring[:, 1], ring[:, 0], min_res)))
@@ -113,70 +176,52 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
 
     out: list = []
     seen: set = set(seeds)
-    frontier = list(seeds)
-    partial_leaves: list = []
-    # BFS at min_res, level-synchronous: all 6 neighbor probes of a whole
-    # level go through ONE vectorized latlng_to_cell call (per-cell calls
-    # pay ~1 ms of vectorization overhead each — the profile's hot spot)
+    frontier = np.fromiter(seeds, dtype=np.int64)
+    partial = np.empty(0, dtype=np.int64)
     dil = _CHILD_OVERHANG_DILATION if min_res < max_res else 0.0
-    while frontier:
-        expand: list = []
-        for cell in frontier:
-            verdict = _classify(cell, ring, dilate=dil)
-            if verdict == OUTSIDE:
-                continue
-            if verdict == FULL:
-                # FULL against the DILATED hexagon: strictly inside even
-                # with descendant overhang -> safe to keep coarse
-                out.append((cell, min_res, True))
-            else:
-                partial_leaves.append(cell)
-            expand.append(cell)
-        if not expand:
+    angs = np.arange(6) * (np.pi / 3.0)
+    cos_a, sin_a = np.cos(angs), np.sin(angs)
+    while len(frontier):
+        bnds = h3.cells_to_boundaries(frontier, t, distortion=True)
+        v = _classify_batch(bnds, ring, dilate=dil)
+        out.extend((int(c), min_res, True) for c in frontier[v == FULL])
+        partial = np.concatenate([partial, frontier[v == PARTIAL]])
+        expand = frontier[v != OUTSIDE]
+        if len(expand) == 0:
             break
-        probe_lat: list = []
-        probe_lon: list = []
-        for cell in expand:
-            f, i, j, k, res_adj = h3._h3_to_face_ijk(cell)
-            x, y = h3._ijk_to_hex2d(i, j, k)
-            for c in range(6):
-                ang = c * math.pi / 3.0
-                la, lo = h3._hex2d_to_geo(
-                    x + math.cos(ang), y + math.sin(ang), f, res_adj)
-                probe_lat.append(math.degrees(la))
-                probe_lon.append(math.degrees(lo))
-        nbs = h3.latlng_to_cell(
-            np.asarray(probe_lat), np.asarray(probe_lon), min_res)
-        frontier = []
-        for nb in (int(n) for n in nbs):
-            if nb not in seen:
-                seen.add(nb)
-                frontier.append(nb)
+        # neighbor probes: centers one lattice step away, all six
+        # directions of the whole level in one vectorized pass
+        f, i, j, k, res = h3.cells_to_face_ijk(expand, t)
+        x, y = h3._ijk_to_hex2d(i, j, k)
+        px = (x[:, None] + cos_a[None, :]).ravel()
+        py = (y[:, None] + sin_a[None, :]).ravel()
+        plat, plon = h3._hex2d_to_geo_arrays(
+            px, py, np.repeat(f, 6), np.repeat(res, 6))
+        nbs = h3.latlng_to_cell(np.degrees(plat), np.degrees(plon), min_res)
+        fresh = [int(nb) for nb in np.unique(nbs) if int(nb) not in seen]
+        seen.update(fresh)
+        frontier = np.asarray(fresh, dtype=np.int64)
         if len(seen) > max_cells:
+            # cap: the still-unclassified frontier becomes PARTIAL
+            # leaves at min_res — the cover stays a superset
+            partial = np.concatenate([partial, frontier])
             break
 
-    # refinement of PARTIAL cells
-    for res in range(min_res + 1, max_res + 1):
-        if not partial_leaves:
+    # refinement of PARTIAL cells, one vectorized level at a time
+    for res_l in range(min_res + 1, max_res + 1):
+        if len(partial) == 0:
             break
-        children = []
-        for cell in partial_leaves:
-            children.extend(h3.cell_to_children(cell, res))
-        partial_leaves = []
+        children = h3.cells_to_children_next(partial, t)
         if len(out) + len(children) > max_cells:
-            # cap: emit parents as partial leaves at the previous res
-            for cell in {h3.cell_to_parent(c, res - 1) for c in children}:
-                out.append((cell, res - 1, False))
+            # cap: emit the parents as partial leaves at the previous res
+            out.extend((int(c), res_l - 1, False) for c in partial)
             return out
-        dil = _CHILD_OVERHANG_DILATION if res < max_res else 0.0
-        for cell in children:
-            verdict = _classify(cell, ring, dilate=dil)
-            if verdict == FULL:
-                out.append((cell, res, True))
-            elif verdict == PARTIAL:
-                partial_leaves.append(cell)
-    for cell in partial_leaves:
-        out.append((cell, max_res, False))
+        dil = _CHILD_OVERHANG_DILATION if res_l < max_res else 0.0
+        bnds = h3.cells_to_boundaries(children, t, distortion=True)
+        v = _classify_batch(bnds, ring, dilate=dil)
+        out.extend((int(c), res_l, True) for c in children[v == FULL])
+        partial = children[v == PARTIAL]
+    out.extend((int(c), max_res, False) for c in partial)
     return out
 
 
@@ -184,12 +229,12 @@ H3_TILES_SCHEMA = ("url string, airspace_idx int, h3_cell long, h3_res int, "
                    "is_full boolean")
 
 
-def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 7,
+def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9,
                      max_cells: int = 16384) -> DataFrame:
     """features(url, airspace_idx, ring, ...) -> one row per H3 cover
-    cell. Narrow Arrow map (no shuffle); default max_res 7 keeps the
-    per-polygon boundary-refinement cost bounded at bench scale (full
-    res-9 depth is a parameter, not a different code path)."""
+    cell. Narrow Arrow map (no shuffle); default res range 5-9 is the
+    north-star mandate depth (affordable since the classification is
+    level-batched)."""
     from pyspark.sql import functions as F
 
     src = (

@@ -179,3 +179,82 @@ def test_boundary_contains_center():
         lats = [p[1] for p in b]
         assert min(lats) < lat < max(lats)
         assert min(lons) < lng < max(lons)
+
+
+def test_vectorized_face_ijk_matches_scalar():
+    """cells_to_face_ijk must reproduce the scalar inverse bit-for-bit,
+    including pentagon rotations and overage-moved cells."""
+    rng = np.random.default_rng(42)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 1200)))
+    lon = rng.uniform(-180, 180, 1200)
+    cells = np.concatenate([
+        np.unique(h3.latlng_to_cell(lat, lon, res)) for res in (0, 1, 3, 6, 9)])
+    f, i, j, k, r = h3.cells_to_face_ijk(cells)
+    for idx in range(len(cells)):
+        assert h3._h3_to_face_ijk(int(cells[idx])) == (
+            int(f[idx]), int(i[idx]), int(j[idx]), int(k[idx]), int(r[idx]))
+
+
+def test_vectorized_children_match_scalar():
+    rng = np.random.default_rng(9)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 400)))
+    lon = rng.uniform(-180, 180, 400)
+    cells = np.unique(h3.latlng_to_cell(lat, lon, 4))[:120]
+    pent0 = (1 << 59) | (4 << 45) | ((1 << 45) - 1)
+    cells = np.concatenate([cells, np.array([pent0], dtype=np.int64)])
+    kids = h3.cells_to_children_next(cells)
+    want = sorted(c for cell in cells for c in h3.cell_to_children(int(cell), h3.get_resolution(int(cell)) + 1))
+    assert sorted(int(c) for c in kids) == want
+
+
+def test_boundary_forward_consistency_including_seams():
+    """Substrate-exact boundaries: an edge midpoint nudged 3% toward the
+    center must round (latlng_to_cell) to the cell; nudged outward it
+    must not. Exercises cells crossing icosahedron edges (the round-2
+    boundary was approximate there). Antimeridian-wrapping and polar
+    cells are skipped — lon/lat chord midpoints are meaningless there,
+    an artifact of the test, not the boundary."""
+    rng = np.random.default_rng(5)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 4000)))
+    lon = rng.uniform(-180, 180, 4000)
+    for res in (4, 5, 6, 7):
+        cells = np.unique(h3.latlng_to_cell(lat, lon, res))[:500]
+        cells = cells[~h3.is_pentagon_arrays(cells)]
+        bnds = h3.cells_to_boundaries(cells, distortion=True)
+        cla, clo = h3.cells_to_latlng(cells)
+        ok = ((bnds[:, :, 0].max(axis=1) - bnds[:, :, 0].min(axis=1)) < 90.0) \
+            & (np.abs(cla) < 85.0)
+        cells, bnds = cells[ok], bnds[ok]
+        cla, clo = cla[ok], clo[ok]
+        mid = (bnds + np.roll(bnds, -1, axis=1)) / 2.0
+        ctr = np.stack([clo, cla], axis=-1)[:, None, :]
+        pin = mid + (ctr - mid) * 0.03
+        pout = mid - (ctr - mid) * 0.03
+        nv = bnds.shape[1]
+        cin = h3.latlng_to_cell(pin[:, :, 1].ravel(), pin[:, :, 0].ravel(),
+                                res).reshape(-1, nv)
+        cout = h3.latlng_to_cell(pout[:, :, 1].ravel(), pout[:, :, 0].ravel(),
+                                 res).reshape(-1, nv)
+        assert (cin == cells[:, None]).all(), f"res {res}: inward nudge escaped"
+        assert (cout != cells[:, None]).all(), f"res {res}: outward nudge stayed"
+
+
+def test_h3_cover_full_depth_res9():
+    """The north-star mandate depth (res 5-9) runs, stays a superset,
+    and emits res-9 leaves."""
+    from openair_spark.ops.h3tiles import h3_cover
+
+    ring = np.array([[9.5, 49.5], [11.5, 49.5], [11.5, 51.2],
+                     [9.5, 51.2], [9.5, 49.5]])
+    cover = h3_cover(ring, min_res=5, max_res=9, max_cells=200000)
+    by_res: dict = {}
+    for cell, res, _ in cover:
+        by_res.setdefault(res, set()).add(cell)
+    assert 9 in by_res and 5 in by_res
+    rng = np.random.default_rng(2)
+    plon = rng.uniform(9.55, 11.45, 400)
+    plat = rng.uniform(49.55, 51.15, 400)
+    for lo, la in zip(plon, plat):
+        leaf = int(h3.latlng_to_cell(la, lo, 9))
+        assert any(h3.cell_to_parent(leaf, res) in cells
+                   for res, cells in by_res.items()), (lo, la)
