@@ -40,13 +40,47 @@ def _pages_for(spark: SparkSession, sf_dir: str):
 
 
 def _parse_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openair_spark.spark.pipeline import parse_features
+    """Flagship parse. Teeth: a sampled url subset is re-generated and
+    re-parsed DRIVER-SIDE (pure Python — no Spark, no Arrow, no
+    extraction kernel) from the embedded OpenAIR payload; the Spark
+    rows must match field-for-field. This independently checks the
+    byte-identical extraction invariant AND the executor parse path."""
+    from openair_spark.core.parser import parse_text
+    from openair_spark.spark.corpus import make_page_rows
+    from openair_spark.spark.pipeline import _config_from_json, parse_features
 
-    feats = parse_features(_pages_for(spark, sf_dir))
-    return feats.select(
+    feats = parse_features(_pages_for(spark, sf_dir)).cache()
+    out = feats.select(
         "url", "airspace_idx", "name", "class", "geometry_type",
         F.size("ring").alias("ring_len"), "success", "error",
     )
+    name = os.path.basename(sf_dir.rstrip("/"))
+    rows = make_page_rows(_N_PAGES.get(name, 150), f"entry-{name}")
+    sample = [r for r in rows if r["_embedded_openair"] is not None][:10]
+    cfg = _config_from_json(None)
+    expected: dict[str, list] = {}
+    for r in sample:
+        res = parse_text(r["_embedded_openair"], cfg, id_seed=r["url"])
+        if res.success:
+            expected[r["url"]] = sorted(
+                (i, f["properties"]["name"], f["properties"]["class"],
+                 f["geometry"]["type"],
+                 len(f["geometry"]["coordinates"][0]
+                     if f["geometry"]["type"] == "Polygon"
+                     else f["geometry"]["coordinates"]))
+                for i, f in enumerate(res.geojson["features"]))
+        else:
+            expected[r["url"]] = [(-1, None, None, None, res.error_message)]
+    got: dict[str, list] = {}
+    for row in out.where(F.col("url").isin(list(expected))).collect():
+        got.setdefault(row["url"], []).append(
+            (row["airspace_idx"], row["name"], row["class"],
+             row["geometry_type"],
+             row["ring_len"] if row["success"] else row["error"]))
+    for url, exp in expected.items():
+        assert sorted(got.get(url, [])) == exp, (url, got.get(url), exp)
+    feats.unpersist()
+    return out
 
 
 def _parse_tile_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -615,15 +615,77 @@ SELECT vec_a, vec_b, sim FROM (
 _IVF_K = 16
 
 
+def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
+    """Trained IVF coarse quantizer: one deterministic Lloyd iteration.
+
+    Seeds are the K lowest-id vectors; every vector is assigned to its
+    nearest seed (L2, ties on centroid id); the trained centroid is the
+    per-dimension mean of its assigned vectors, rounded to 4 dp. The
+    rounding makes the quantizer identical across engines and
+    partitionings (a distributed double sum is order-sensitive at the
+    ~1e-15 level; 4 dp leaves a 5e-5 margin). Empty cells keep no
+    centroid row — every seed is its own nearest vector, so cells are
+    never empty after one iteration."""
+    seeds = emb.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = emb.crossJoin(F.broadcast(seeds)).withColumn("d2", d2)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("centroid_id").asc())
+    assign0 = (cand.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") == 1).select("vec_id", "centroid_id", "v"))
+    dims = assign0.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+    means = dims.groupBy("centroid_id", "pos").agg(
+        F.round(F.avg("val"), 4).alias("cv"))
+    return means.groupBy("centroid_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"]).alias("c"))
+
+
+# DuckDB mirror of _ivf_trained_centroids; the final centroid is built
+# as an ORDERED list so downstream list_transform folds sum the 64 dims
+# in the same order Spark's F.aggregate does
+_SQL_IVF_TRAINED = f"""
+e AS (SELECT vec_id, embedding FROM embeddings),
+seed_dist AS (
+  SELECT a.vec_id, b.vec_id AS centroid_id,
+         list_sum(list_transform(range(1, 65),
+              i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                 * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))) AS d2
+  FROM e a JOIN e b ON b.vec_id < {_IVF_K}
+),
+assign0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rk
+    FROM seed_dist
+  ) WHERE rk = 1
+),
+trained_dim AS (
+  SELECT a0.centroid_id, t.i AS pos,
+         round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 4) AS cv
+  FROM assign0 a0
+  JOIN e ON e.vec_id = a0.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY a0.centroid_id, t.i
+),
+trained AS (
+  SELECT centroid_id, list(cv ORDER BY pos) AS c
+  FROM trained_dim GROUP BY centroid_id
+)"""
+
+
 def q_ann_ivf_assign(spark, sf_dir):
-    """IVF coarse-quantizer assignment (the scale path for ANN): the
-    K lowest-id vectors act as the trained coarse centroids; every
-    vector is assigned to its nearest centroid by L2, deterministic
-    tie-break on centroid id."""
+    """IVF coarse-quantizer assignment (the scale path for ANN):
+    centroids are TRAINED (one Lloyd iteration from the K lowest-id
+    seeds, see _ivf_trained_centroids); every vector is assigned to its
+    nearest trained centroid by L2, deterministic tie-break on
+    centroid id."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = emb.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    cents = _ivf_trained_centroids(emb)
     l2 = F.sqrt(F.aggregate(
         F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x))
@@ -637,13 +699,13 @@ def q_ann_ivf_assign(spark, sf_dir):
 
 
 SQL_ANN_IVF_ASSIGN = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH {_SQL_IVF_TRAINED},
 cand AS (
-  SELECT a.vec_id, b.vec_id AS centroid_id,
+  SELECT a.vec_id, b.centroid_id,
          sqrt(list_sum(list_transform(range(1, 65),
-              i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
-                 * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))) AS l2
-  FROM e a JOIN e b ON b.vec_id < {_IVF_K}
+              i -> (CAST(a.embedding[i] AS DOUBLE) - b.c[i])
+                 * (CAST(a.embedding[i] AS DOUBLE) - b.c[i])))) AS l2
+  FROM e a CROSS JOIN trained b
 )
 SELECT vec_id, centroid_id, round(l2, 6) AS l2 FROM (
   SELECT vec_id, centroid_id, l2,
@@ -653,21 +715,27 @@ SELECT vec_id, centroid_id, round(l2, 6) AS l2 FROM (
 """
 
 
-_IVF_NPROBE = 2
+_IVF_NPROBE = 3
 _IVF_TOPK = 3
 _IVF_NQUERIES = 50
+# recall floor for the in-query teeth assert (measured 0.65 / 0.65 on
+# the synthetic embeddings at sf0.01 / sf0.1 with trained K=16 and
+# nprobe=3; nprobe=2 measured 0.57 / 0.61)
+_IVF_MIN_RECALL = 0.5
 
 
 def q_ann_ivf_search(spark, sf_dir):
     """IVF search (the ANN scale path end-to-end): queries probe their
-    `nprobe` nearest coarse centroids, candidates are the vectors
-    assigned to those centroids (an equi-join on centroid_id — work is
-    bounded by list sizes, never all-pairs), exact cosine ranks top-k.
+    `nprobe` nearest TRAINED coarse centroids (one Lloyd iteration, see
+    _ivf_trained_centroids), candidates are the vectors assigned to
+    those centroids (an equi-join on centroid_id — work is bounded by
+    list sizes, never all-pairs), exact cosine ranks top-k. Teeth: the
+    probe set's recall against the brute-force cosine top-k is computed
+    in-query and asserted against _IVF_MIN_RECALL.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = emb.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    cents = _ivf_trained_centroids(emb)
     l2 = F.sqrt(F.aggregate(
         F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x))
@@ -698,21 +766,42 @@ def q_ann_ivf_search(spark, sf_dir):
         .select("vec_a", "vec_b", "sim").distinct()
     )
     w2 = Window.partitionBy("vec_a").orderBy(F.col("sim").desc(), F.col("vec_b").asc())
-    return (
+    out = (
         cand.withColumn("rk", F.row_number().over(w2))
         .where(F.col("rk") <= _IVF_TOPK)
         .select("vec_a", "vec_b", "sim", "rk")
     )
+    # teeth: probe-set recall vs the exact brute-force cosine top-k
+    # (bounded: NQUERIES x n sims) must clear the floor
+    brute = (
+        emb.where(F.col("vec_id") < _IVF_NQUERIES)
+        .select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        .crossJoin(F.broadcast(emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))))
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("sim", dot / (norm_a * norm_b))
+    )
+    brute_top = (
+        brute.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _IVF_TOPK).select("vec_a", "vec_b")
+    )
+    n_brute = brute_top.count()
+    hits = out.select("vec_a", "vec_b").join(
+        brute_top, ["vec_a", "vec_b"], "inner").count()
+    recall = hits / max(n_brute, 1)
+    assert recall >= _IVF_MIN_RECALL, (
+        f"IVF recall {recall:.3f} < {_IVF_MIN_RECALL}")
+    return out
 
 
 SQL_ANN_IVF_SEARCH = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH {_SQL_IVF_TRAINED},
 dist AS (
-  SELECT a.vec_id, b.vec_id AS centroid_id,
+  SELECT a.vec_id, b.centroid_id,
          sqrt(list_sum(list_transform(range(1, 65),
-              i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
-                 * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))) AS l2
-  FROM e a JOIN e b ON b.vec_id < {_IVF_K}
+              i -> (CAST(a.embedding[i] AS DOUBLE) - b.c[i])
+                 * (CAST(a.embedding[i] AS DOUBLE) - b.c[i])))) AS l2
+  FROM e a CROSS JOIN trained b
 ),
 ranked AS (
   SELECT vec_id, centroid_id,

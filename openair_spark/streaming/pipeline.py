@@ -59,7 +59,8 @@ ASSEMBLED_SCHEMA = ("url string, n_lines long, n_features long, "
 
 
 def stateful_block_assembler(lines_stream: DataFrame,
-                             config_json: str | None = None) -> DataFrame:
+                             config_json: str | None = None,
+                             state_timeout_ms: int = 600_000) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): a
     url's OpenAIR lines arrive as events spread across micro-batches;
     per-url state accumulates them until the url's `is_last` line lands,
@@ -68,13 +69,25 @@ def stateful_block_assembler(lines_stream: DataFrame,
 
     This is the streaming twin of the batch per-url fail-fast semantics:
     the unit of work is the document, but ingestion is incremental —
-    state is bounded by document size, not stream length.
+    state is bounded by document size, not stream length. TOTAL state is
+    bounded too: a url whose `is_last` never arrives (dropped/truncated
+    stream) times out after `state_timeout_ms` of processing-time
+    inactivity and is flushed as an n_errors=1 row — without this,
+    never-finalized urls would accumulate state forever.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def assemble(key, pdf_iter, state: GroupState):
         url = key[0]
+        if state.hasTimedOut:
+            lines = list(state.get[0]) if state.exists else []
+            state.remove()
+            yield pd.DataFrame([{
+                "url": url, "n_lines": len(lines), "n_features": 0,
+                "n_errors": 1, "first_name": None,
+            }])
+            return
         lines = list(state.get[0]) if state.exists else []
         done = False
         for pdf in pdf_iter:
@@ -85,7 +98,8 @@ def stateful_block_assembler(lines_stream: DataFrame,
                     done = True
         if not done:
             state.update((lines,))
-            return iter(())
+            state.setTimeoutDuration(state_timeout_ms)
+            return
         state.remove()
         ordered = [s.split("\x00", 1)[1] for s in sorted(lines)]
         text = "\n".join(ordered)
@@ -116,7 +130,7 @@ def stateful_block_assembler(lines_stream: DataFrame,
             outputStructType=ASSEMBLED_SCHEMA,
             stateStructType="lines array<string>",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

@@ -120,3 +120,49 @@ def test_stateful_block_assembler_across_batches(spark, tmp_path):
         assert got[url]["n_errors"] == 0
         assert got[url]["first_name"] == \
             expected.geojson["features"][0]["properties"]["name"]
+
+
+def test_stateful_block_assembler_timeout_flush(spark, tmp_path):
+    """A url whose is_last never arrives must not hold state forever:
+    after the processing-time timeout it is flushed as an n_errors=1
+    row (append-mode contract preserved)."""
+    import time
+
+    from openair_spark.streaming.pipeline import (
+        LINE_EVENTS_SCHEMA,
+        stateful_block_assembler,
+    )
+
+    src = str(tmp_path / "lines_t")
+    out = str(tmp_path / "assembled_t")
+    ckpt = str(tmp_path / "tckpt")
+    # u_incomplete never sends is_last
+    spark.createDataFrame([("u_incomplete", 0, "AC D", False)],
+                          LINE_EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(LINE_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stateful_block_assembler(stream, config_json='{"version": "1.0"}',
+                                  state_timeout_ms=2000)
+         .writeStream.outputMode("append")
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                rows = spark.read.parquet(out).collect()
+            except Exception:
+                rows = []
+            if rows:
+                break
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "u_incomplete"
+    assert rows[0]["n_errors"] == 1 and rows[0]["n_features"] == 0
+    assert rows[0]["n_lines"] == 1
