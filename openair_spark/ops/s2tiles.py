@@ -50,12 +50,16 @@ def _classify(cell: int, ring: np.ndarray, leaf_ids: np.ndarray,
     vertex_in = bool(((leaf_ids >= np.uint64(lo))
                       & (leaf_ids <= np.uint64(hi))).any())
     corners = np.asarray(s2.cell_corners_latlon(cell), dtype=np.float64)
-    # unwrap corner longitudes toward the ring so antimeridian-adjacent
-    # cells get a sane local frame (without this, the +-180 strip
-    # blanket-classifies PARTIAL and descends to max_level globally)
     w, s_, e, n = ring_bbox
     ring_cx = (w + e) / 2.0
-    corners[:, 0] += 360.0 * np.round((ring_cx - corners[:, 0]) / 360.0)
+    # make the corner block lon-COHERENT first (corners of a cell
+    # straddling any meridian wrap independently out of atan2 — unwrap
+    # each toward corner 0), THEN shift the whole block toward the ring.
+    # Per-corner unwrap toward the ring center split cells sitting near
+    # ring_cx +- 180 into a fake >180-deg span, which the pole branch
+    # then descended to max_level (a stray antipodal cell strip).
+    corners[:, 0] += 360.0 * np.round((corners[0, 0] - corners[:, 0]) / 360.0)
+    corners[:, 0] += 360.0 * np.round((ring_cx - corners[:, 0].mean()) / 360.0)
     if corners[:, 0].max() - corners[:, 0].min() > 180.0:
         # still spanning >180 deg after unwrap: the cell holds (or hugs)
         # a pole. Rings are lon/lat-local (engine-wide: no pole

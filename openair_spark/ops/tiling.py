@@ -51,34 +51,49 @@ def _tile_kernel(batches: Iterator[pd.DataFrame], min_res: int, max_res: int,
         h3.seed_tables(h3_tables)
     cols = [c.split()[0] for c in TILES_SCHEMA.split(", ")]
     for pdf in batches:
-        out: list[dict] = []
+        urls: list = []
+        idxs: list = []
+        cells: list = []
+        fulls: list = []
         for url, idx, ring in zip(pdf["url"], pdf["airspace_idx"], pdf["ring"]):
             if ring is None or len(ring) < 4:
                 continue
             arr = np.asarray([list(p) for p in ring], dtype=np.float64)
             for cell, is_full in compact_cover(arr, min_res=min_res, max_res=max_res):
-                res, x, y = quadkey.decode(cell)
-                res = int(res)
-                west, south, east, north = quadkey.cell_bounds(cell)
-                clat, clon = (south + north) / 2.0, (west + east) / 2.0
-                s2c = int(s2.cell_id(clat, clon, _S2_LEVEL_FOR_RES[res]))
-                out.append({
-                    "url": url, "airspace_idx": int(idx), "cell": int(cell),
-                    "res": res, "is_full": bool(is_full),
-                    "s2_cell": s2c,
-                    "s2_token": s2.cell_token(s2c),
-                    "h3_cell": 0, "h3_res": _H3_RES_FOR_RES[res],
-                    "_clat": clat, "_clon": clon,
-                })
-        pdf_out = pd.DataFrame(out, columns=cols + ["_clat", "_clon"])
-        if len(pdf_out):
-            # one vectorized H3 encode per res present in the batch
-            for h3_res in pdf_out["h3_res"].unique():
-                m = pdf_out["h3_res"] == h3_res
-                pdf_out.loc[m, "h3_cell"] = h3.latlng_to_cell(
-                    pdf_out.loc[m, "_clat"].to_numpy(),
-                    pdf_out.loc[m, "_clon"].to_numpy(), int(h3_res))
-        yield pdf_out[cols]
+                urls.append(url)
+                idxs.append(int(idx))
+                cells.append(int(cell))
+                fulls.append(bool(is_full))
+        if not cells:
+            yield pd.DataFrame(columns=cols)
+            continue
+        # decode / bounds / sibling cell ids for the WHOLE batch at once
+        # (per-cell scalar calls were the kernel's hot spot)
+        carr = np.asarray(cells, dtype=np.int64)
+        res, _, _ = quadkey.decode(carr)
+        west, south, east, north = quadkey.cell_bounds(carr)
+        clat = (south + north) / 2.0
+        clon = (west + east) / 2.0
+        s2c = np.zeros(len(carr), dtype=np.int64)
+        h3c = np.zeros(len(carr), dtype=np.int64)
+        h3r = np.minimum(np.maximum(res, 5), 9)
+        for r in np.unique(res):
+            m = res == r
+            s2c[m] = s2.cell_id(clat[m], clon[m], _S2_LEVEL_FOR_RES[int(r)])
+        for hr in np.unique(h3r):
+            m = h3r == hr
+            h3c[m] = h3.latlng_to_cell(clat[m], clon[m], int(hr))
+        yield pd.DataFrame({
+            "url": urls,
+            "airspace_idx": np.asarray(idxs, dtype=np.int32),
+            "cell": carr,
+            "res": res.astype(np.int32),
+            "is_full": fulls,
+            "s2_cell": s2c,
+            "s2_token": [s2.cell_token(int(c)) for c in s2c],
+            "h3_cell": h3c,
+            "h3_res": h3r.astype(np.int32),
+        })[cols]
 
 
 def polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9) -> DataFrame:
