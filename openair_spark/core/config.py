@@ -98,3 +98,8 @@ class ParserConfig:
             if not isinstance(vals, list) or any(
                     not isinstance(v, str) or not v for v in vals):
                 raise TypeError(f"invalid config value {name}={vals!r}")
+        for name in ("validate_geometry", "fix_geometry", "warn_if_expired",
+                     "round_alt_values", "include_openair"):
+            val = getattr(self, name)
+            if not isinstance(val, bool):
+                raise TypeError(f"invalid config value {name}={val!r}")

@@ -258,3 +258,38 @@ def test_h3_cover_full_depth_res9():
         leaf = int(h3.latlng_to_cell(la, lo, 9))
         assert any(h3.cell_to_parent(leaf, res) in cells
                    for res, cells in by_res.items()), (lo, la)
+
+
+def test_derived_tables_match_fixture():
+    """The derived tables (base-cell homes, pentagon cw-offsets, overage
+    transforms, centers) and a full res-1 sweep are locked as a fixture:
+    any change to the derivation is a loud diff, not silent drift. The
+    anchor-verified parts are listed in the fixture comment; the
+    edge-midpoint home fallback is self-consistent but externally
+    unverified (ADVICE r2) — this fixture is the recorded id set to
+    cross-check against uber/h3 when an environment provides it."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures_h3_tables.json")
+    with open(path) as f:
+        fix = json.load(f)
+    t = h3._tables()
+    assert [[int(v) for v in row] for row in t["home"]] == fix["home"]
+    assert [bool(b) for b in t["is_pent"]] == fix["is_pent"]
+    assert {str(k): sorted(int(f) for f in v)
+            for k, v in t["cw_offset"].items() if v} == fix["cw_offset"]
+    assert {f"{f}:{q}": [int(g), [int(x) for x in tr], int(r)]
+            for (f, q), (g, tr, r) in sorted(t["face_neighbors"].items())
+            } == fix["face_neighbors"]
+    res1 = []
+    for bc in range(122):
+        base = (1 << 59) | (bc << 45) | ((1 << 45) - 1)
+        for c in h3.cell_to_children(base, 1):
+            la, lo = h3.cell_to_latlng(c)
+            res1.append([h3.cell_to_string(c), round(la, 9), round(lo, 9)])
+    assert sorted(res1) == fix["res1_sweep"]
+    b = h3.cells_to_boundaries(
+        np.array([0x8928308280FFFFF], dtype=np.int64), distortion=True)[0]
+    got = [[round(float(x), 12), round(float(y), 12)] for x, y in b]
+    assert got == fix["sf_cell9_boundary"]
