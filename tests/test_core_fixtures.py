@@ -288,3 +288,68 @@ def test_circular_invalid_orphan_fixture_deterministic():
     assert len(ring) >= 4
     again = parse_ok("circular-invalid.txt", v1_config())
     assert again.geojson["features"][0]["geometry"] == result.geojson["features"][0]["geometry"]
+
+
+def test_airway_buffer_distance_property_multi_segment():
+    """Strong G4 invariant for arbitrary multi-segment polylines, in the
+    projected plane: every vertex of the buffer boundary lies at exactly
+    the buffer distance from the polyline (offset points and fillet
+    points by construction; noded intersection points because they sit
+    on two offset pieces), and points sampled at 0.85d / 1.15d from the
+    polyline are inside / outside. This pins the multi-segment join
+    semantics to the true buffer definition even though the reference
+    ships no multi-segment fixture."""
+    import math
+
+    import numpy as np
+
+    from openair_spark.core.buffer import _line_offset_ring
+    from openair_spark.core.polygon import outer_boundary_ring
+    from openair_spark.index.pip import points_in_ring
+
+    def dist_to_polyline(px, py, pts):
+        best = np.inf
+        for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+            dx, dy = x1 - x0, y1 - y0
+            t = ((px - x0) * dx + (py - y0) * dy) / (dx * dx + dy * dy)
+            t = min(1.0, max(0.0, t))
+            best = min(best, math.hypot(px - (x0 + t * dx), py - (y0 + t * dy)))
+        return best
+
+    rng = np.random.default_rng(17)
+    d = 10.0
+    for trial in range(12):
+        n_seg = int(rng.integers(2, 6))
+        pts = [[0.0, 0.0]]
+        ang = rng.uniform(0, 2 * math.pi)
+        for _ in range(n_seg):
+            ang += rng.uniform(-2.4, 2.4)  # sharp turns included
+            step = rng.uniform(15.0, 80.0)
+            pts.append([pts[-1][0] + step * math.cos(ang),
+                        pts[-1][1] + step * math.sin(ang)])
+        ring = outer_boundary_ring(_line_offset_ring(pts, d))
+        arr = np.asarray(ring, dtype=np.float64)
+        # 1. every boundary vertex at distance d: never beyond d, and
+        # at most two fillet-chord sagittas inside it (fillet arcs are
+        # discretized as 16-gon chords; noded intersections between two
+        # chords dip below d by up to ~2*(1-cos(pi/32))*d)
+        lo = d * (1.0 - 2.0 * (1.0 - math.cos(math.pi / 32.0)))
+        for px, py in arr[:-1]:
+            dd = dist_to_polyline(px, py, pts)
+            assert lo - 1e-6 * d <= dd <= d * (1.0 + 1e-4), (trial, px, py, dd)
+        # 2. band containment: 0.85d inside, 1.15d outside (sampled via
+        # normals at segment interiors and vertices)
+        for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+            mx, my = (x0 + x1) / 2, (y0 + y1) / 2
+            L = math.hypot(x1 - x0, y1 - y0)
+            nx, ny = -(y1 - y0) / L, (x1 - x0) / L
+            for sgn in (1.0, -1.0):
+                inside = points_in_ring(
+                    np.array([mx + sgn * nx * 0.85 * d]),
+                    np.array([my + sgn * ny * 0.85 * d]), arr)
+                assert inside.all(), (trial, "0.85d not inside")
+                far = (mx + sgn * nx * 1.15 * d, my + sgn * ny * 1.15 * d)
+                if dist_to_polyline(*far, pts) > 1.1 * d:
+                    outside = ~points_in_ring(
+                        np.array([far[0]]), np.array([far[1]]), arr)
+                    assert outside.all(), (trial, "1.15d not outside")
