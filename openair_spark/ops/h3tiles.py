@@ -48,15 +48,25 @@ OUTSIDE, PARTIAL, FULL = 0, 1, 2
 # (cover membership = ancestor of the point's max_res cell) require.
 _CHILD_OVERHANG_DILATION = 0.15
 
+# A pentagon's boundary at class III resolutions bends outward across
+# face seams between its (exact) substrate vertices; the 5-gon chord
+# polygon undercovers the true cell by up to 9.6% of the circumradius
+# (measured over all 12 pentagons at res 3-9). Classifying pentagons
+# against a 12%-dilated boundary keeps every verdict conservative
+# (FULL/OUTSIDE stricter, PARTIAL descends), preserving the cover's
+# superset property near pentagons.
+_PENTAGON_DILATION = 0.12
+
 # classification works on stacked (m, 6, R) orientation matrices; chunk
 # the cell axis to bound worker memory on long rings
 _CLASSIFY_CHUNK = 4096
 
 
 def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
-                    dilate: float = 0.0) -> np.ndarray:
+                    dilate=0.0) -> np.ndarray:
     """FULL / PARTIAL / OUTSIDE verdicts of many H3 cells vs one closed
-    ring. `bnds` is (n, 6, 2) [lon, lat]; returns (n,) int8."""
+    ring. `bnds` is (n, V, 2) [lon, lat]; `dilate` is a scalar or a
+    per-cell (n,) array; returns (n,) int8."""
     n = len(bnds)
     verdict = np.zeros(n, dtype=np.int8)
     if n == 0:
@@ -69,9 +79,11 @@ def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
     if np.any(shift):
         b = b.copy()
         b[:, :, 0] += shift[:, None]
-    if dilate:
+    if np.any(dilate):
+        d = (np.asarray(dilate, dtype=np.float64).reshape(-1, 1, 1)
+             if np.ndim(dilate) else dilate)
         c = b.mean(axis=1, keepdims=True)
-        b = c + (b - c) * (1.0 + dilate)
+        b = c + (b - c) * (1.0 + d)
     # cheap bbox rejection before the pair matrices
     rw, re_ = float(ring[:, 0].min()), float(ring[:, 0].max())
     rs, rn = float(ring[:, 1].min()), float(ring[:, 1].max())
@@ -183,7 +195,8 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
     cos_a, sin_a = np.cos(angs), np.sin(angs)
     while len(frontier):
         bnds = h3.cells_to_boundaries(frontier, t, distortion=True)
-        v = _classify_batch(bnds, ring, dilate=dil)
+        dil_arr = dil + _PENTAGON_DILATION * h3.is_pentagon_arrays(frontier, t)
+        v = _classify_batch(bnds, ring, dilate=dil_arr)
         out.extend((int(c), min_res, True) for c in frontier[v == FULL])
         partial = np.concatenate([partial, frontier[v == PARTIAL]])
         expand = frontier[v != OUTSIDE]
@@ -218,7 +231,8 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
             return out
         dil = _CHILD_OVERHANG_DILATION if res_l < max_res else 0.0
         bnds = h3.cells_to_boundaries(children, t, distortion=True)
-        v = _classify_batch(bnds, ring, dilate=dil)
+        dil_arr = dil + _PENTAGON_DILATION * h3.is_pentagon_arrays(children, t)
+        v = _classify_batch(bnds, ring, dilate=dil_arr)
         out.extend((int(c), res_l, True) for c in children[v == FULL])
         partial = children[v == PARTIAL]
     out.extend((int(c), max_res, False) for c in partial)

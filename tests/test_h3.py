@@ -293,3 +293,56 @@ def test_derived_tables_match_fixture():
         np.array([0x8928308280FFFFF], dtype=np.int64), distortion=True)[0]
     got = [[round(float(x), 12), round(float(y), 12)] for x, y in b]
     assert got == fix["sf_cell9_boundary"]
+
+
+def test_h3_cover_superset_at_pentagon_sliver():
+    """Cover superset must hold inside a pentagon's chord sliver: at
+    class III resolutions the 5-gon chord boundary undercovers the true
+    cell by up to ~9.6% of the circumradius (the distortion vertices a
+    pentagon would need are skipped). A tiny ring placed entirely inside
+    that sliver is only covered because pentagons classify against a
+    12%-dilated boundary — without _PENTAGON_DILATION this test fails
+    (verified)."""
+    from openair_spark.ops.h3tiles import h3_cover
+
+    for bc in (14, 38, 49, 83):
+        base = (1 << 59) | (bc << 45) | ((1 << 45) - 1)
+        pent7 = h3.cell_to_center_child(base, 7)   # odd-res pentagon
+        cla, clo = h3.cell_to_latlng(pent7)
+        if abs(cla) > 80:
+            continue
+        b = h3.cells_to_boundaries(np.array([pent7], dtype=np.int64))[0][:5]
+        lons = b[:, 0] + 360 * np.round((clo - b[:, 0]) / 360)
+        b = np.stack([lons, b[:, 1]], axis=-1)
+        ctr = np.array([clo, cla])
+        # deepest sliver: binary-search outward from each chord midpoint
+        # for where the forward function leaves the pentagon
+        best = None
+        for e in range(5):
+            m = (b[e] + b[(e + 1) % 5]) / 2.0
+            d = m - ctr
+            lo_f, hi_f = 0.0, 0.6
+            for _ in range(30):
+                f = (lo_f + hi_f) / 2
+                p = m + d * f
+                if int(h3.latlng_to_cell(p[1], p[0], 7)) == pent7:
+                    lo_f = f
+                else:
+                    hi_f = f
+            if best is None or lo_f > best[0]:
+                best = (lo_f, m, d)
+        f, m, d = best
+        p = m + d * (f * 0.5)
+        assert int(h3.latlng_to_cell(p[1], p[0], 7)) == pent7
+        th = np.linspace(0, 2 * np.pi, 25)
+        rad = float(np.hypot(*d)) * f * 0.2
+        ring = np.stack(
+            [p[0] + rad * np.cos(th) / max(np.cos(np.radians(p[1])), 0.2),
+             p[1] + rad * np.sin(th)], axis=-1)
+        cover = h3_cover(ring, min_res=5, max_res=7)
+        by_res: dict = {}
+        for cell, res, _ in cover:
+            by_res.setdefault(res, set()).add(cell)
+        leaf = int(h3.latlng_to_cell(p[1], p[0], 7))
+        assert any(h3.cell_to_parent(leaf, res) in cells
+                   for res, cells in by_res.items()), bc
