@@ -238,3 +238,73 @@ def to_signed(cell: int) -> int:
     """Unsigned 64-bit id -> two's-complement int64 (Spark LongType)."""
     cell &= 0xFFFFFFFFFFFFFFFF
     return cell - (1 << 64) if cell >= (1 << 63) else cell
+
+
+# ------------------------------------------------- vectorized cover kernels
+
+
+def faces_uv_to_xyz(face, u, v):
+    """face_uv_to_xyz with a per-element `face` array."""
+    face = np.asarray(face, dtype=np.int64)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    one = np.ones_like(u)
+    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [one, -u, -u, -one, v], default=v)
+    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [u, one, -v, -v, -one], default=u)
+    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [v, v, one, -u, -u], default=-one)
+    return x, y, z
+
+
+def decode_arrays(cells, level: int):
+    """Vectorized inverse Hilbert walk for an array of UNSIGNED uint64
+    ids, all at the same `level` -> (face, i, j) int64 arrays."""
+    c = np.asarray(cells, dtype=np.uint64)
+    face = (c >> np.uint64(61)).astype(np.int64)
+    pos = (c >> np.uint64(64 - 3 - 2 * level)) & np.uint64((1 << (2 * level)) - 1)
+    orientation = face & SWAP
+    i = np.zeros(len(c), dtype=np.int64)
+    j = np.zeros(len(c), dtype=np.int64)
+    for k in range(level):
+        p = ((pos >> np.uint64(2 * (level - 1 - k))) & np.uint64(3)).astype(np.int64)
+        ij = POS_TO_IJ[orientation, p]
+        i = (i << 1) | (ij >> 1)
+        j = (j << 1) | (ij & 1)
+        orientation = orientation ^ POS_TO_ORIENTATION[p]
+    return face, i, j
+
+
+def cells_corners_latlon(cells, level: int):
+    """(n, 4, 2) [lon, lat] corner quads (ccw in st space), vectorized;
+    `cells` are unsigned uint64 ids all at `level`."""
+    face, i, j = decode_arrays(cells, level)
+    n = 1 << level
+    s0, s1 = i / n, (i + 1) / n
+    t0, t1 = j / n, (j + 1) / n
+    ss = np.stack([s0, s1, s1, s0], axis=-1)
+    tt = np.stack([t0, t0, t1, t1], axis=-1)
+    x, y, z = faces_uv_to_xyz(np.repeat(face, 4),
+                              st_to_uv(ss.ravel()), st_to_uv(tt.ravel()))
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return np.stack([lon, lat], axis=-1).reshape(len(face), 4, 2)
+
+
+def children_arrays(cells):
+    """All 4 children of each unsigned id, concatenated (n*4,) uint64."""
+    c = np.asarray(cells, dtype=np.uint64)
+    lsb = c & (~c + np.uint64(1))
+    nl = lsb >> np.uint64(2)
+    base = c - lsb + nl
+    return (base[:, None]
+            + np.uint64(2) * np.arange(4, dtype=np.uint64)[None, :]
+            * nl[:, None]).ravel()
+
+
+def range_min_max_arrays(cells):
+    """(lo, hi) unsigned leaf-id range arrays of each unsigned id."""
+    c = np.asarray(cells, dtype=np.uint64)
+    lsb = c & (~c + np.uint64(1))
+    return c - (lsb - np.uint64(1)), c + (lsb - np.uint64(1))

@@ -9,6 +9,14 @@ tests are exact integer range checks on the ring's precomputed leaf
 ids; corner/edge tests run on the lon/lat corner quad with a small
 dilation absorbing the chord-vs-geodesic curvature of cell edges.
 
+Classification is LEVEL-BATCHED (round 3): the whole frontier of a
+level is decoded, cornered, and classified in one vectorized pass
+(the per-cell Python loop was the leg's hot spot), mirroring
+ops/h3tiles. Pole-holding cells (corner block still spanning >180 deg
+of longitude after coherent unwrap) classify by the ring's latitude
+band — |lat| over an S2 cell is extremized at a uv-corner, so corner
+latitudes bound the cell's reach exactly.
+
 `s2_polygon_tiles` fans the cover over the features DataFrame in one
 narrow Arrow map (mega-polygons split into bounded cell rows).
 """
@@ -31,72 +39,85 @@ OUTSIDE, PARTIAL, FULL = 0, 1, 2
 _CURVATURE_DILATION = 0.05
 
 
-def _segments_cross(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+def _classify_level(cells: np.ndarray, level: int, ring: np.ndarray,
+                    leaf_sorted: np.ndarray, ring_bbox: tuple) -> np.ndarray:
+    """Vectorized FULL/PARTIAL/OUTSIDE verdicts for one level's frontier
+    (`cells` unsigned uint64, all at `level`)."""
+    n = len(cells)
+    verdict = np.zeros(n, dtype=np.int8)
+    if n == 0:
+        return verdict
+    w, s_, e, nn = ring_bbox
+    ring_cx = (w + e) / 2.0
+    # exact vertex-in-cell: any ring leaf id inside the cell's id range
+    lo, hi = s2.range_min_max_arrays(cells)
+    pos = np.searchsorted(leaf_sorted, lo, side="left")
+    pos_c = np.minimum(pos, len(leaf_sorted) - 1)
+    vertex_in = leaf_sorted[pos_c] <= hi
+    vertex_in &= pos < len(leaf_sorted)
+
+    corners = s2.cells_corners_latlon(cells, level)          # (n, 4, 2)
+    # lon-coherent corner block (corners wrap independently out of
+    # atan2), then shift the block toward the ring
+    corners = corners.copy()
+    corners[:, :, 0] += 360.0 * np.round(
+        (corners[:, 0, 0][:, None] - corners[:, :, 0]) / 360.0)
+    corners[:, :, 0] += 360.0 * np.round(
+        (ring_cx - corners[:, :, 0].mean(axis=1))[:, None] / 360.0)
+
+    span = corners[:, :, 0].max(axis=1) - corners[:, :, 0].min(axis=1)
+    pole = span > 180.0
+    if bool(pole.any()):
+        # a pole-holding cell clipped by a ring EDGE can have no ring
+        # vertex inside it; bound by the ring's latitude band (corner
+        # |lat| is the exact extremum over the cell)
+        north = corners[:, :, 1].mean(axis=1) > 0.0
+        reach = np.where(
+            north, nn >= corners[:, :, 1].min(axis=1),
+            s_ <= corners[:, :, 1].max(axis=1))
+        verdict[pole] = np.where(vertex_in[pole] | reach[pole],
+                                 PARTIAL, OUTSIDE)
+
+    idx = np.nonzero(~pole)[0]
+    if len(idx) == 0:
+        return verdict
+    b = corners[idx]
+    c = b.mean(axis=1, keepdims=True)
+    b = c + (b - c) * (1.0 + _CURVATURE_DILATION)
+    # cheap bbox rejection (vertex-holding cells can never be OUTSIDE)
+    out_bbox = ((b[:, :, 0].max(axis=1) < w) | (b[:, :, 0].min(axis=1) > e)
+                | (b[:, :, 1].max(axis=1) < s_) | (b[:, :, 1].min(axis=1) > nn))
+    alive = ~(out_bbox & ~vertex_in[idx])
+    sel = idx[alive]
+    if len(sel) == 0:
+        return verdict
+    hb = b[alive]
+    hx1, hy1 = hb[:, :, 0], hb[:, :, 1]
+    hx2 = np.roll(hx1, -1, axis=1)
+    hy2 = np.roll(hy1, -1, axis=1)
+    rx1, ry1 = ring[:-1, 0], ring[:-1, 1]
+    rx2, ry2 = ring[1:, 0], ring[1:, 1]
+
     def orient(px, py, qx, qy, rx, ry):
         return (qx - px) * (ry - py) - (qy - py) * (rx - px)
 
-    ax1, ay1, ax2, ay2 = (v[:, None] for v in (ax1, ay1, ax2, ay2))
-    bx1, by1, bx2, by2 = (v[None, :] for v in (bx1, by1, bx2, by2))
-    d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
-    d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
-    d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
-    d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
-    return (d1 * d2 < 0) & (d3 * d4 < 0)
-
-
-def _classify(cell: int, ring: np.ndarray, leaf_ids: np.ndarray,
-              ring_bbox: tuple) -> int:
-    lo, hi = s2.range_min_max(cell)
-    vertex_in = bool(((leaf_ids >= np.uint64(lo))
-                      & (leaf_ids <= np.uint64(hi))).any())
-    corners = np.asarray(s2.cell_corners_latlon(cell), dtype=np.float64)
-    w, s_, e, n = ring_bbox
-    ring_cx = (w + e) / 2.0
-    # make the corner block lon-COHERENT first (corners of a cell
-    # straddling any meridian wrap independently out of atan2 — unwrap
-    # each toward corner 0), THEN shift the whole block toward the ring.
-    # Per-corner unwrap toward the ring center split cells sitting near
-    # ring_cx +- 180 into a fake >180-deg span, which the pole branch
-    # then descended to max_level (a stray antipodal cell strip).
-    corners[:, 0] += 360.0 * np.round((corners[0, 0] - corners[:, 0]) / 360.0)
-    corners[:, 0] += 360.0 * np.round((ring_cx - corners[:, 0].mean()) / 360.0)
-    if corners[:, 0].max() - corners[:, 0].min() > 180.0:
-        # still spanning >180 deg after unwrap: the cell holds (or hugs)
-        # a pole. Rings are lon/lat-local (engine-wide: no pole
-        # crossing), but a ring EDGE can clip such a cell with no ring
-        # vertex inside it (face boundaries are curved in lon/lat — e.g.
-        # a mid-latitude ring near a face corner at lat ~35, lon 45).
-        # |lat| over an S2 cell is extremized at a uv-corner (|lat| =
-        # atan(1/hypot(u', v')) and hypot is convex), so the corner
-        # latitudes bound the cell's reach exactly: OUTSIDE only when
-        # the ring's latitude band provably cannot reach the cell;
-        # otherwise descend (children leave the pole branch quickly).
-        if vertex_in:
-            return PARTIAL
-        if corners[:, 1].mean() > 0.0:  # north-side cell
-            return PARTIAL if n >= corners[:, 1].min() else OUTSIDE
-        return PARTIAL if s_ <= corners[:, 1].max() else OUTSIDE
-    c = corners.mean(axis=0)
-    b = c + (corners - c) * (1.0 + _CURVATURE_DILATION)
-    if not vertex_in:
-        # cheap bbox rejection before the segment/PIP matrices
-        w, s_, e, n = ring_bbox
-        if (b[:, 0].max() < w or b[:, 0].min() > e
-                or b[:, 1].max() < s_ or b[:, 1].min() > n):
-            return OUTSIDE
-    qx1, qy1 = b[:, 0], b[:, 1]
-    qx2, qy2 = np.roll(b[:, 0], -1), np.roll(b[:, 1], -1)
-    crossing = bool(_segments_cross(
-        qx1, qy1, qx2, qy2,
-        ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]).any())
-    if vertex_in or crossing:
-        return PARTIAL
-    corners_in = points_in_ring(b[:, 0], b[:, 1], ring)
-    if corners_in.all():
-        return FULL
-    if corners_in.any():
-        return PARTIAL
-    return OUTSIDE
+    A = (hx1[:, :, None], hy1[:, :, None], hx2[:, :, None], hy2[:, :, None])
+    B = (rx1[None, None, :], ry1[None, None, :],
+         rx2[None, None, :], ry2[None, None, :])
+    d1 = orient(A[0], A[1], A[2], A[3], B[0], B[1])
+    d2 = orient(A[0], A[1], A[2], A[3], B[2], B[3])
+    d3 = orient(B[0], B[1], B[2], B[3], A[0], A[1])
+    d4 = orient(B[0], B[1], B[2], B[3], A[2], A[3])
+    crossing = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=(1, 2))
+    partial = crossing | vertex_in[sel]
+    corners_in = points_in_ring(hx1.ravel(), hy1.ravel(), ring).reshape(-1, 4)
+    all_in = corners_in.all(axis=1)
+    any_in = corners_in.any(axis=1)
+    verdict[sel] = np.where(
+        partial, PARTIAL,
+        np.where(all_in, FULL, np.where(any_in, PARTIAL, OUTSIDE))
+    ).astype(np.int8)
+    return verdict
 
 
 def s2_cover(ring, max_level: int = 10, max_cells: int = 16384) -> list:
@@ -108,32 +129,30 @@ def s2_cover(ring, max_level: int = 10, max_cells: int = 16384) -> list:
     ring = np.asarray(ring, dtype=np.float64)
     # unsigned leaf ids: range containment must compare in unsigned id
     # space (faces 4-5 set the sign bit of the int64 representation)
-    leaf_ids = np.asarray(
+    leaf_sorted = np.sort(np.asarray(
         s2.cell_id(ring[:, 1], ring[:, 0], s2.MAX_LEVEL),
-        dtype=np.int64).astype(np.uint64)
+        dtype=np.int64).astype(np.uint64))
     ring_bbox = (float(ring[:, 0].min()), float(ring[:, 1].min()),
                  float(ring[:, 0].max()), float(ring[:, 1].max()))
-    frontier = [(f << 61) | (1 << 60) for f in range(6)]
+    frontier = np.array([(f << 61) | (1 << 60) for f in range(6)],
+                        dtype=np.uint64)
     out: list = []
-    level = 0
-    while frontier and level <= max_level:
-        nxt: list = []
-        for cell in frontier:
-            verdict = _classify(int(cell), ring, leaf_ids, ring_bbox)
-            if verdict == OUTSIDE:
-                continue
-            if verdict == FULL and level >= 3:
-                out.append((int(cell), level, True))
-            elif level == max_level:
-                out.append((int(cell), level, False))
-            else:
-                nxt.extend(int(k) for k in s2.children(cell))
-        if len(out) + len(nxt) > max_cells:
+    for level in range(0, max_level + 1):
+        if len(frontier) == 0:
+            break
+        v = _classify_level(frontier, level, ring, leaf_sorted, ring_bbox)
+        full_ok = (v == FULL) & (level >= 3)
+        out.extend((int(c), level, True) for c in frontier[full_ok])
+        descend = frontier[(v == PARTIAL) | ((v == FULL) & (level < 3))]
+        if level == max_level:
+            out.extend((int(c), level, False) for c in descend)
+            break
+        kids = s2.children_arrays(descend)
+        if len(out) + len(kids) > max_cells:
             # cap: emit the remaining frontier as partial leaves
-            out.extend((int(c), level + 1, False) for c in nxt)
+            out.extend((int(c), level + 1, False) for c in kids)
             return out
-        frontier = nxt
-        level += 1
+        frontier = kids
     return out
 
 
