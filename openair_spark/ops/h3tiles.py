@@ -261,15 +261,33 @@ def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9,
         h3.seed_tables(h3_tables)
         cols = [c.split()[0] for c in H3_TILES_SCHEMA.split(", ")]
         for pdf in batches:
-            out: list[dict] = []
+            # columnar assembly: a cover can emit millions of rows per
+            # batch at res 9 — per-row dicts dominate the kernel cost
+            urls: list = []
+            idxs: list = []
+            chunks: list = []
             for url, idx, ring in zip(pdf["url"], pdf["airspace_idx"], pdf["ring"]):
                 if ring is None or len(ring) < 4:
                     continue
                 arr = np.asarray([list(p) for p in ring], dtype=np.float64)
-                for cell, res, is_full in h3_cover(arr, min_res, max_res, max_cells):
-                    out.append({"url": url, "airspace_idx": int(idx),
-                                "h3_cell": int(cell), "h3_res": int(res),
-                                "is_full": bool(is_full)})
-            yield pd.DataFrame(out, columns=cols)
+                cov = h3_cover(arr, min_res, max_res, max_cells)
+                if not cov:
+                    continue
+                urls.append(url)
+                idxs.append(int(idx))
+                chunks.append(np.asarray(cov, dtype=np.int64))
+            if not chunks:
+                yield pd.DataFrame(columns=cols)
+                continue
+            counts = [len(c) for c in chunks]
+            flat = np.concatenate(chunks)
+            yield pd.DataFrame({
+                "url": np.repeat(np.asarray(urls, dtype=object), counts),
+                "airspace_idx": np.repeat(
+                    np.asarray(idxs, dtype=np.int32), counts),
+                "h3_cell": flat[:, 0],
+                "h3_res": flat[:, 1].astype(np.int32),
+                "is_full": flat[:, 2].astype(bool),
+            })[cols]
 
     return src.mapInPandas(kernel, H3_TILES_SCHEMA)

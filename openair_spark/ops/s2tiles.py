@@ -174,16 +174,37 @@ def s2_polygon_tiles(features: DataFrame,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [c.split()[0] for c in S2_TILES_SCHEMA.split(", ")]
         for pdf in batches:
-            out: list[dict] = []
+            urls: list = []
+            idxs: list = []
+            chunks: list = []
             for url, idx, ring in zip(pdf["url"], pdf["airspace_idx"], pdf["ring"]):
                 if ring is None or len(ring) < 4:
                     continue
                 arr = np.asarray([list(p) for p in ring], dtype=np.float64)
-                for cell, level, is_full in s2_cover(arr, max_level, max_cells):
-                    out.append({"url": url, "airspace_idx": int(idx),
-                                "s2_cell": s2.to_signed(int(cell)),
-                                "s2_level": int(level),
-                                "is_full": bool(is_full)})
-            yield pd.DataFrame(out, columns=cols)
+                cov = s2_cover(arr, max_level, max_cells)
+                if not cov:
+                    continue
+                urls.append(url)
+                idxs.append(int(idx))
+                # unsigned ids -> two's-complement int64 (Spark LongType)
+                a = np.asarray([c for c, _, _ in cov], dtype=np.uint64)
+                chunks.append(np.stack([
+                    a.astype(np.int64),
+                    np.asarray([lv for _, lv, _ in cov], dtype=np.int64),
+                    np.asarray([fl for _, _, fl in cov], dtype=np.int64),
+                ], axis=1))
+            if not chunks:
+                yield pd.DataFrame(columns=cols)
+                continue
+            counts = [len(c) for c in chunks]
+            flat = np.concatenate(chunks)
+            yield pd.DataFrame({
+                "url": np.repeat(np.asarray(urls, dtype=object), counts),
+                "airspace_idx": np.repeat(
+                    np.asarray(idxs, dtype=np.int32), counts),
+                "s2_cell": flat[:, 0],
+                "s2_level": flat[:, 1].astype(np.int32),
+                "is_full": flat[:, 2].astype(bool),
+            })[cols]
 
     return src.mapInPandas(kernel, S2_TILES_SCHEMA)
