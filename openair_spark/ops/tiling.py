@@ -40,7 +40,7 @@ TILES_SCHEMA = (
 # quadkey res r has cell width 360/2^r deg; pick the S2 level with the
 # closest cell scale; H3 rides the north rule's res 5-9 band
 _S2_LEVEL_FOR_RES = {r: r + 1 for r in range(0, 28)}
-_H3_RES_FOR_RES = {r: min(max(r, 5), 9) for r in range(0, 28)}
+# H3 rides the north rule's res 5-9 band: clamp(res, 5, 9) in the kernel
 
 
 def _tile_kernel(batches: Iterator[pd.DataFrame], min_res: int, max_res: int,
