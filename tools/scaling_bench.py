@@ -107,11 +107,20 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
             "ceiling": round(thr[n_high] / (4 * thr[n_low]), 3)}
 
 
-def run_level(cpus: int, n_pages: int, n_points: int, repeats: int) -> dict:
+def run_level(cpus: int, n_pages: int, n_points: int, repeats: int,
+              pin: bool = False) -> dict:
     code = WORKER % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n_pages), str(n_points), str(repeats)],
-        capture_output=True, text=True, timeout=3000)
+    cmd = [sys.executable, "-c", code,
+           str(cpus), str(n_pages), str(n_points), str(repeats)]
+    if pin:
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cpus` host cores — the faithful stand-in for N dedicated
+        # executor cores. Without pinning, local-mode auxiliary threads
+        # (JVM serialization, GC, Arrow transfer, python workers) spill
+        # onto idle host cores and inflate the SMALL level's throughput,
+        # understating N->4N efficiency vs a real cgroup-limited cluster.
+        cmd = ["taskset", "-c", ",".join(str(c) for c in range(cpus))] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -123,13 +132,14 @@ def main() -> None:
     n_points = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    pin = len(sys.argv) > 5 and sys.argv[5] == "pin"
     n_high = n_low * 4
     hw = hw_ceiling(n_low, n_high)
-    rlo = run_level(n_low, n_pages, n_points, repeats)
-    rhi = run_level(n_high, n_pages, n_points, repeats)
+    rlo = run_level(n_low, n_pages, n_points, repeats, pin=pin)
+    rhi = run_level(n_high, n_pages, n_points, repeats, pin=pin)
     efficiency = round(rhi["rows_per_sec"] / (4 * rlo["rows_per_sec"]), 3)
     normalized = round(efficiency / hw["ceiling"], 3) if hw["ceiling"] else None
-    result = {"n_pages": n_pages, "n_points": n_points,
+    result = {"n_pages": n_pages, "n_points": n_points, "pinned": pin,
               "low": rlo, "high": rhi, "hw_ceiling": hw,
               "efficiency_n_to_4n": efficiency,
               "efficiency_vs_hw_ceiling": normalized}
