@@ -193,8 +193,11 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
     dil = _CHILD_OVERHANG_DILATION if min_res < max_res else 0.0
     angs = np.arange(6) * (np.pi / 3.0)
     cos_a, sin_a = np.cos(angs), np.sin(angs)
+    # distortion vertices exist only at class III (odd) resolutions —
+    # even levels use the plain 6-vertex boundary (half the matrix work)
     while len(frontier):
-        bnds = h3.cells_to_boundaries(frontier, t, distortion=True)
+        bnds = h3.cells_to_boundaries(frontier, t,
+                                      distortion=(min_res % 2 == 1))
         dil_arr = dil + _PENTAGON_DILATION * h3.is_pentagon_arrays(frontier, t)
         v = _classify_batch(bnds, ring, dilate=dil_arr)
         out.extend((int(c), min_res, True) for c in frontier[v == FULL])
@@ -230,7 +233,8 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
             out.extend((int(c), res_l - 1, False) for c in partial)
             return out
         dil = _CHILD_OVERHANG_DILATION if res_l < max_res else 0.0
-        bnds = h3.cells_to_boundaries(children, t, distortion=True)
+        bnds = h3.cells_to_boundaries(children, t,
+                                      distortion=(res_l % 2 == 1))
         dil_arr = dil + _PENTAGON_DILATION * h3.is_pentagon_arrays(children, t)
         v = _classify_batch(bnds, ring, dilate=dil_arr)
         out.extend((int(c), res_l, True) for c in children[v == FULL])
