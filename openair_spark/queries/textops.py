@@ -190,6 +190,71 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the
+    MinHash-LSH candidate pairs. Large-scale dedup needs which docs to
+    keep, not just candidate pairs — every doc's cluster_id is the
+    smallest doc_id in its component (the canonical representative).
+
+    Deterministic min-label propagation (Pregel-style): each round a
+    doc's label becomes min(own, neighbors'); rounds needed = component
+    diameter (near-dup components are near-cliques from band grouping,
+    so 1-3 rounds). Each round is one equi-join + min-agg — the
+    standard scalable CC formulation; the driver loop only checks the
+    convergence counter, all data stays executor-side."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id").distinct()
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels.count()
+    for _ in range(20):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src").agg(F.min("cluster_id").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb, labels["doc_id"] == nb["src"], "left")
+            .select(labels["doc_id"],
+                    F.least(labels["cluster_id"],
+                            F.coalesce(nb["nb_min"], labels["cluster_id"])
+                            ).alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE lsh_pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+cc_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+docs AS (SELECT DISTINCT doc_id FROM documents),
+reach(doc, lbl) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.src, r.lbl FROM cc_edges e JOIN reach r ON r.doc = e.dst
+)
+SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc
+"""
+
+
 _SIMHASH_BITS = 16
 
 
@@ -840,6 +905,7 @@ CATALOG = {
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_clusters": QueryDef(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash_fingerprint": QueryDef(q_simhash, SQL_SIMHASH),
     "embedding_topk_cosine": QueryDef(q_embedding_topk_cosine, SQL_EMBEDDING_TOPK_COSINE),
     "ann_lsh_buckets": QueryDef(q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
