@@ -4,9 +4,10 @@
    "queries": {name: sec, ...}, "sf": ...,
    "throughput": {...}}
 
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default 32),
-     SPARK_GRAFT_PAGES  (default scaled to sf).
+Env: SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS         (default 32),
+     SPARK_GRAFT_PAGES        (default scaled to sf),
+     SPARK_GRAFT_BENCH_REPEATS (default 3; each leg reports its median).
 
 The flagship pipeline (pages -> extract -> parse -> tile -> PIP join)
 reads a pre-materialized parquet corpus (generated executor-parallel on
@@ -69,13 +70,30 @@ def main() -> None:
     # numbers measure the engine, not cold-start noise
     pages.limit(256).select("url", "text").count()
 
+    # Each leg runs REPEATS times and records the MEDIAN (all samples are
+    # emitted in the JSON under "samples").  Shared-host VM noise produced a
+    # +37% swing on byte-identical code between rounds 2 and 3; a per-leg
+    # median makes the official artifact variance-resistant without needing
+    # prose to explain outliers.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    samples: dict[str, list[float]] = {}
+
+    def _run_leg(name: str, fn, t_out: dict, n_out: dict) -> None:
+        leg: list[float] = []
+        n = 0
+        for _ in range(repeats):
+            t0 = time.time()
+            n = int(fn())
+            leg.append(round(time.time() - t0, 3))
+        samples[name] = leg
+        n_out[name] = n
+        t_out[name] = sorted(leg)[len(leg) // 2]
 
     def bench(name: str, fn) -> None:
-        t0 = time.time()
-        counts[name] = int(fn())
-        timings[name] = round(time.time() - t0, 3)
+        _run_leg(name, fn, timings, counts)
 
     # q1: full parse pipeline (extract -> tokenize -> geometry kernels),
     # materialized to parquet — the production shape: parse once, every
@@ -127,9 +145,7 @@ def main() -> None:
     extra_n: dict[str, int] = {}
 
     def bench_extra(name: str, fn) -> None:
-        t0 = time.time()
-        extra_n[name] = int(fn())
-        extra_t[name] = round(time.time() - t0, 3)
+        _run_leg(name, fn, extra_t, extra_n)
 
     from openair_spark.ops.h3tiles import h3_polygon_tiles
     from openair_spark.ops.s2tiles import s2_polygon_tiles
@@ -159,6 +175,8 @@ def main() -> None:
         "throughput": throughput,
         "extra_queries": extra_t,
         "extra_rows": extra_n,
+        "repeats": repeats,
+        "samples": samples,
     }))
     spark.stop()
 

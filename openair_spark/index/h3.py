@@ -34,7 +34,8 @@ Engine surface: `latlng_to_cell` (vectorized, the hot path),
 `cell_to_latlng`, `cell_to_parent` / `cell_to_children` (bit math),
 `grid_disk` (geometric BFS via edge-midpoint probes), `cell_boundary` /
 `cells_to_boundaries` (substrate-exact vertices, correct across
-icosahedron edges; pentagons keep a documented k-vertex collapse),
+icosahedron edges, exact pentagons incl. their class III distortion
+vertices),
 `is_pentagon`, `cell_to_string`, plus vectorized whole-level kernels
 for the cover ops: `cells_to_face_ijk`, `cells_to_latlng`,
 `cells_to_children_next`, `is_pentagon_arrays`.
@@ -867,8 +868,8 @@ def cell_boundary(h: int) -> list:
     """Boundary vertices [(lon, lat) degrees], substrate-exact: each
     vertex is re-projected on its own face (published algorithm — see
     cells_to_boundaries), so cells crossing an icosahedron edge get
-    exact corners. Pentagons return 6 rows with the nonexistent k-side
-    vertex collapsed onto its neighbor (degenerate edge)."""
+    exact corners. Pentagons return 6 rows: 5 exact vertices plus a
+    duplicate of vertex 4 (degenerate edge, keeps the shape fixed)."""
     b = cells_to_boundaries(np.array([int(h)], dtype=np.int64))[0]
     return [[float(lon), float(lat)] for lon, lat in b]
 
@@ -1172,9 +1173,17 @@ def cells_to_boundaries(cells, t=None, distortion=False):
     icosahedron edge additionally get the published distortion vertex at
     the face-edge intersection (slot 2v precedes vertex slot 2v+1;
     absent distortion slots duplicate the following vertex — degenerate,
-    harmless to point-in-polygon / crossing tests). Remaining documented
-    approximation: a pentagon's nonexistent k-side vertex is collapsed
-    onto its ccw neighbor and pentagon distortion vertices are skipped."""
+    harmless to point-in-polygon / crossing tests).
+
+    Pentagons are exact too (published _faceIjkPentToCellBoundary,
+    re-derived): their 5 substrate vertices are the first five hexagon
+    vertex offsets with the repeated-overage adjustment, and at class III
+    resolutions every pentagon edge crosses an icosahedron edge, so all 5
+    distortion vertices are emitted (computed in the previous vertex's
+    face frame — the center-face chord used for hexagons cannot reach
+    the two faces opposite the home face around the icosa vertex). The
+    nonexistent 6th vertex slot duplicates vertex 4 to keep the array
+    rectangular (degenerate edge, harmless)."""
     if t is None:
         t = _tables()
     cells = np.asarray(cells, dtype=np.int64)
@@ -1264,6 +1273,64 @@ def cells_to_boundaries(cells, t=None, distortion=False):
         dla, dlo = _hex2d_to_geo_arrays(ix, iy, cf, adj_res[ci], substrate=True)
         out[ci, 2 * cv, 0] = np.degrees(dlo)
         out[ci, 2 * cv, 1] = np.degrees(dla)
+    # ---- pentagon distortion vertices (published _faceIjkPentToCellBoundary,
+    # re-derived): every class III pentagon edge crosses an icosahedron
+    # edge. The intersection is computed in the PREVIOUS vertex's face
+    # frame: the current vertex's substrate coords are transformed onto
+    # that face with the derived face-neighbor transform, and the chord
+    # is cut against that face's triangle edge toward the current face.
+    # Pentagons are <= 12 cells per res in any input — scalar loop.
+    pidx = np.nonzero(pent & odd)[0]
+    if len(pidx):
+        _, _, g_lut, prot_lut, ptr_lut, adj_dir = _inv_luts(t)
+        vface6 = vf.reshape(n, 6)
+        vi6 = vi.reshape(n, 6)
+        vj6 = vj.reshape(n, 6)
+        vk6 = vk.reshape(n, 6)
+        for row in pidx:
+            pw = 7 ** (int(adj_res[row]) // 2)
+            c_i = (6.0 * pw, 0.0)
+            c_j = (-3.0 * pw, 6.0 * M_SIN60 * pw)
+            c_k = (-3.0 * pw, -6.0 * M_SIN60 * pw)
+            edge_of = {_QUAD_IJ: (c_i, c_j), _QUAD_JK: (c_j, c_k),
+                       _QUAD_KI: (c_k, c_i)}
+            for v in range(5):
+                pv = (v + 4) % 5  # slot 2v holds the distortion before vertex v
+                fc, fl = int(vface6[row, v]), int(vface6[row, pv])
+                if fc == fl:
+                    continue  # defensive: no crossing, keep the degenerate dup
+                quad_cl = int(adj_dir[fc, fl])
+                quad_lc = int(adj_dir[fl, fc])
+                if quad_cl < 1 or quad_lc < 1:
+                    continue  # defensive: non-adjacent faces (cannot happen)
+                # current vertex -> previous vertex's face frame
+                ci_, cj_, ck_ = (int(vi6[row, v]), int(vj6[row, v]),
+                                 int(vk6[row, v]))
+                for _ in range(int(prot_lut[fc, quad_cl])):
+                    ci_, cj_, ck_ = ci_ + ck_, ci_ + cj_, cj_ + ck_
+                    mn = min(ci_, cj_, ck_)
+                    ci_, cj_, ck_ = ci_ - mn, cj_ - mn, ck_ - mn
+                ci_, cj_, ck_ = _normalize_ijk(
+                    ci_ + int(ptr_lut[fc, quad_cl, 0]) * 3 * pw,
+                    cj_ + int(ptr_lut[fc, quad_cl, 1]) * 3 * pw,
+                    ck_ + int(ptr_lut[fc, quad_cl, 2]) * 3 * pw)
+                p1x, p1y = _ijk_to_hex2d(ci_, cj_, ck_)
+                p0x, p0y = _ijk_to_hex2d(int(vi6[row, pv]), int(vj6[row, pv]),
+                                         int(vk6[row, pv]))
+                e0, e1 = edge_of[quad_lc]
+                den = ((p1x - p0x) * (e1[1] - e0[1])
+                       - (p1y - p0y) * (e1[0] - e0[0]))
+                if den == 0.0:
+                    continue
+                tt = ((e0[0] - p0x) * (e1[1] - e0[1])
+                      - (e0[1] - p0y) * (e1[0] - e0[0])) / den
+                ixp = p0x + tt * (p1x - p0x)
+                iyp = p0y + tt * (p1y - p0y)
+                dla, dlo = _hex2d_to_geo_arrays(
+                    np.array([ixp]), np.array([iyp]), np.array([fl]),
+                    np.array([int(adj_res[row])]), substrate=True)
+                out[row, 2 * v, 0] = math.degrees(float(dlo[0]))
+                out[row, 2 * v, 1] = math.degrees(float(dla[0]))
     return out
 
 

@@ -14,14 +14,12 @@ becomes many bounded (h3_cell, res) rows (skew splitting), with a
 
 Classification is LEVEL-BATCHED: one vectorized
 `index.h3.cells_to_boundaries` call per refinement level produces every
-candidate's 6 substrate-exact corners (exact across icosahedron edges —
-see index/h3.py), and the vertex-in-hex / corner-in-ring /
-segment-crossing tests run on stacked arrays. Round 2 classified each
-cell from a Python loop, which made the mandate depth (res 9)
-unaffordable; the batched kernel runs the full res 5-9 sweep.
-Remaining boundary approximation (documented in cells_to_boundaries):
-pentagon k-vertex collapse and omitted class III face-seam distortion
-vertices — both absorbed by the classification dilation.
+candidate's substrate-exact corners (exact across icosahedron edges and
+exact pentagons incl. class III distortion vertices — see index/h3.py),
+and the vertex-in-hex / corner-in-ring / segment-crossing tests run on
+stacked arrays. Round 2 classified each cell from a Python loop, which
+made the mandate depth (res 9) unaffordable; the batched kernel runs
+the full res 5-9 sweep.
 """
 
 from __future__ import annotations
@@ -48,15 +46,6 @@ OUTSIDE, PARTIAL, FULL = 0, 1, 2
 # (cover membership = ancestor of the point's max_res cell) require.
 _CHILD_OVERHANG_DILATION = 0.15
 
-# A pentagon's boundary at class III resolutions bends outward across
-# face seams between its (exact) substrate vertices; the 5-gon chord
-# polygon undercovers the true cell by up to 9.6% of the circumradius
-# (measured over all 12 pentagons at res 3-9). Classifying pentagons
-# against a 12%-dilated boundary keeps every verdict conservative
-# (FULL/OUTSIDE stricter, PARTIAL descends), preserving the cover's
-# superset property near pentagons.
-_PENTAGON_DILATION = 0.12
-
 # classification works on stacked (m, 6, R) orientation matrices; chunk
 # the cell axis to bound worker memory on long rings
 _CLASSIFY_CHUNK = 4096
@@ -72,13 +61,18 @@ def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
     if n == 0:
         return verdict
     b = bnds
-    # unwrap boundary longitudes toward the ring (antimeridian safety,
-    # mirroring the S2 cover) — per cell, using its mean longitude
+    # antimeridian safety, mirroring the S2 cover: first make each
+    # boundary internally lon-coherent (unwrap every vertex toward the
+    # cell's vertex 0 — cells straddling ±180 otherwise classify against
+    # a self-inconsistent polygon), then shift whole cells toward the
+    # ring using the coherent mean longitude
     ring_cx = (float(ring[:, 0].min()) + float(ring[:, 0].max())) / 2.0
-    shift = 360.0 * np.round((ring_cx - b[:, :, 0].mean(axis=1)) / 360.0)
-    if np.any(shift):
+    lon = b[:, :, 0]
+    unwrap = 360.0 * np.round((lon[:, :1] - lon) / 360.0)
+    shift = 360.0 * np.round((ring_cx - (lon + unwrap).mean(axis=1)) / 360.0)
+    if np.any(unwrap) or np.any(shift):
         b = b.copy()
-        b[:, :, 0] += shift[:, None]
+        b[:, :, 0] += unwrap + shift[:, None]
     if np.any(dilate):
         d = (np.asarray(dilate, dtype=np.float64).reshape(-1, 1, 1)
              if np.ndim(dilate) else dilate)
@@ -198,8 +192,7 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
     while len(frontier):
         bnds = h3.cells_to_boundaries(frontier, t,
                                       distortion=(min_res % 2 == 1))
-        dil_arr = dil + _PENTAGON_DILATION * h3.is_pentagon_arrays(frontier, t)
-        v = _classify_batch(bnds, ring, dilate=dil_arr)
+        v = _classify_batch(bnds, ring, dilate=dil)
         out.extend((int(c), min_res, True) for c in frontier[v == FULL])
         partial = np.concatenate([partial, frontier[v == PARTIAL]])
         expand = frontier[v != OUTSIDE]
@@ -235,8 +228,7 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
         dil = _CHILD_OVERHANG_DILATION if res_l < max_res else 0.0
         bnds = h3.cells_to_boundaries(children, t,
                                       distortion=(res_l % 2 == 1))
-        dil_arr = dil + _PENTAGON_DILATION * h3.is_pentagon_arrays(children, t)
-        v = _classify_batch(bnds, ring, dilate=dil_arr)
+        v = _classify_batch(bnds, ring, dilate=dil)
         out.extend((int(c), res_l, True) for c in children[v == FULL])
         partial = children[v == PARTIAL]
     out.extend((int(c), max_res, False) for c in partial)

@@ -211,15 +211,20 @@ def test_boundary_forward_consistency_including_seams():
     """Substrate-exact boundaries: an edge midpoint nudged 3% toward the
     center must round (latlng_to_cell) to the cell; nudged outward it
     must not. Exercises cells crossing icosahedron edges (the round-2
-    boundary was approximate there). Antimeridian-wrapping and polar
-    cells are skipped — lon/lat chord midpoints are meaningless there,
-    an artifact of the test, not the boundary."""
+    boundary was approximate there) and, since round 4, all 12 pentagons
+    per res (exact 5-vertex boundary + class III distortion vertices).
+    Antimeridian-wrapping and polar cells are skipped — lon/lat chord
+    midpoints are meaningless there, an artifact of the test, not the
+    boundary."""
     rng = np.random.default_rng(5)
     lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 4000)))
     lon = rng.uniform(-180, 180, 4000)
     for res in (4, 5, 6, 7):
         cells = np.unique(h3.latlng_to_cell(lat, lon, res))[:500]
-        cells = cells[~h3.is_pentagon_arrays(cells)]
+        pents = np.array([h3.cell_to_center_child(
+            (1 << 59) | (bc << 45) | ((1 << 45) - 1), res)
+            for bc in PENTAGONS], dtype=np.int64)
+        cells = np.unique(np.concatenate([cells, pents]))
         bnds = h3.cells_to_boundaries(cells, distortion=True)
         cla, clo = h3.cells_to_latlng(cells)
         ok = ((bnds[:, :, 0].max(axis=1) - bnds[:, :, 0].min(axis=1)) < 90.0) \
@@ -296,13 +301,14 @@ def test_derived_tables_match_fixture():
 
 
 def test_h3_cover_superset_at_pentagon_sliver():
-    """Cover superset must hold inside a pentagon's chord sliver: at
-    class III resolutions the 5-gon chord boundary undercovers the true
-    cell by up to ~9.6% of the circumradius (the distortion vertices a
-    pentagon would need are skipped). A tiny ring placed entirely inside
-    that sliver is only covered because pentagons classify against a
-    12%-dilated boundary — without _PENTAGON_DILATION this test fails
-    (verified)."""
+    """Cover superset must hold inside a pentagon's "chord sliver": the
+    region between a class III pentagon's 5 substrate-vertex chords and
+    its true (bulging) boundary, up to ~9.6% of the circumradius deep.
+    Round 3 absorbed it with a 12% classification dilation; round 4
+    computes the exact pentagon distortion vertices instead
+    (index/h3.py cells_to_boundaries), so a tiny ring placed at the
+    deepest point of the sliver must be covered with NO dilation — this
+    is the regression test for that exactness."""
     from openair_spark.ops.h3tiles import h3_cover
 
     for bc in (14, 38, 49, 83):
