@@ -40,11 +40,13 @@ def _pages_for(spark: SparkSession, sf_dir: str):
 
 
 def _parse_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship parse. Teeth: a sampled url subset is re-generated and
-    re-parsed DRIVER-SIDE (pure Python — no Spark, no Arrow, no
-    extraction kernel) from the embedded OpenAIR payload; the Spark
-    rows must match field-for-field. This independently checks the
-    byte-identical extraction invariant AND the executor parse path."""
+    """Flagship parse. Teeth: a url sample scaled to corpus size (10% of
+    pages, min 10) is re-generated and re-parsed DRIVER-SIDE (pure
+    Python — no Spark, no Arrow, no extraction kernel) from the embedded
+    OpenAIR payload; the Spark rows must match field-for-field. This
+    independently checks the byte-identical extraction invariant AND the
+    executor parse path. Scope note: this is a smoke oracle — the full
+    census against every reference fixture is tests/test_core_fixtures."""
     from openair_spark.core.parser import parse_text
     from openair_spark.spark.corpus import make_page_rows
     from openair_spark.spark.pipeline import _config_from_json, parse_features
@@ -55,8 +57,10 @@ def _parse_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ring").alias("ring_len"), "success", "error",
     )
     name = os.path.basename(sf_dir.rstrip("/"))
-    rows = make_page_rows(_N_PAGES.get(name, 150), f"entry-{name}")
-    sample = [r for r in rows if r["_embedded_openair"] is not None][:10]
+    n_pages = _N_PAGES.get(name, 150)
+    rows = make_page_rows(n_pages, f"entry-{name}")
+    sample = [r for r in rows
+              if r["_embedded_openair"] is not None][:max(10, n_pages // 10)]
     cfg = _config_from_json(None)
     expected: dict[str, list] = {}
     for r in sample:
@@ -138,7 +142,13 @@ def _parse_s2_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _parse_pip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: parse airspaces from pages, then PIP-join a synthetic
     point grid against the parsed polygons (rows-only: polygons come
-    from the parse, not from a SQL-visible table)."""
+    from the parse, not from a SQL-visible table).
+
+    Teeth: for 5 sampled polygons the FULL hit set (not just counts) is
+    recomputed driver-side with an independent scalar ray-cast over the
+    regenerated point grid and must equal the Spark kernel's hit set —
+    this catches both false positives (non-hit candidates leaking
+    through) and false negatives (hits dropped by cover/bbox/kernel)."""
     from openair_spark.ops.pip import pip_join
     from openair_spark.spark.pipeline import parse_features
 
@@ -151,8 +161,41 @@ def _parse_pip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(30.0e0 + (id * 40093) % 35000 / 1000.0e0) AS lat",
         "(-12.0e0 + (id * 69697) % 45000 / 1000.0e0) AS lon",
     )
-    hits = pip_join(points, polys)
-    return hits.groupBy("polygon_id").agg(F.count("*").alias("n_points"))
+    hits = pip_join(points, polys).cache()
+
+    sample = polys.limit(5).collect()
+
+    def ray_cast(px: float, py: float, ring) -> bool:
+        # independent scalar even-odd ray cast, same half-open
+        # convention as the kernel (y1 <= y < y2, strict x <)
+        inside = False
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            if ((y1 <= py < y2) or (y2 <= py < y1)) and \
+                    px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+        return inside
+
+    grid = [(str(i),
+             30.0 + (i * 40093) % 35000 / 1000.0,
+             -12.0 + (i * 69697) % 45000 / 1000.0) for i in range(20000)]
+    sampled_ids = [r["polygon_id"] for r in sample]
+    got_rows = hits.where(F.col("polygon_id").isin(sampled_ids)) \
+        .select("polygon_id", "point_id").collect()
+    got: dict[str, set] = {pid: set() for pid in sampled_ids}
+    for r in got_rows:
+        got[r["polygon_id"]].add(r["point_id"])
+    for r in sample:
+        ring = [list(p) for p in r["ring"]]
+        want = {pid for pid, la, lo in grid if ray_cast(lo, la, ring)}
+        assert got[r["polygon_id"]] == want, (
+            r["polygon_id"],
+            sorted(want - got[r["polygon_id"]])[:5],
+            sorted(got[r["polygon_id"]] - want)[:5])
+
+    out = hits.groupBy("polygon_id").agg(F.count("*").alias("n_points")).cache()
+    out.count()  # materialize the small aggregate, then release the big cache
+    hits.unpersist()
+    return out
 
 
 def _feature_collections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,18 +334,41 @@ def _spark_native_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary asset pipeline: pages html -> typed asset rows -> Arrow
-    decode kernel (deterministic stub decoder — no codecs in this
-    container; plumbing is real, see ops/multimodal.py)."""
-    from openair_spark.ops.multimodal import decode_features, extract_assets
+    """Binary asset pipeline, two lanes unioned:
+    - html assets through the deterministic stub decoder (plumbing lane:
+      those codecs are genuinely absent in this container);
+    - synthesized `image/png` assets through the REAL from-scratch PNG
+      decoder (ops/png.py — stdlib zlib + numpy unfilter).
+    Teeth: one output row per asset in both lanes, and 10 sampled PNG
+    rows must match driver-side expected (width, height, mean_luma)
+    recomputed from the deterministic source image."""
+    from openair_spark.ops.multimodal import (
+        decode_features, extract_assets, synth_png_assets, synth_png_image)
 
-    assets = extract_assets(_pages_for(spark, sf_dir)).cache()
-    out = decode_features(assets, fake=True)
-    # teeth: the decode kernel must emit exactly one row per asset
-    n_assets = assets.count()
-    n_out = out.count()
-    assert n_out == n_assets, (n_out, n_assets)
-    assets.unpersist()
+    pages = _pages_for(spark, sf_dir)
+    html_assets = extract_assets(pages).cache()
+    png_assets = synth_png_assets(pages).cache()
+    html_out = decode_features(html_assets, fake=True)
+    png_out = decode_features(png_assets, fake=False).cache()
+    n_html, n_png = html_assets.count(), png_assets.count()
+    assert html_out.count() == n_html
+    assert png_out.count() == n_png, "real PNG decode dropped rows"
+    # pixel-stat teeth: recompute expected stats driver-side
+    import numpy as np
+
+    sample = png_assets.select("url", "asset_id").limit(10).collect()
+    got = {r["asset_id"]: r for r in png_out.where(
+        F.col("asset_id").isin([s["asset_id"] for s in sample])).collect()}
+    for s in sample:
+        img = synth_png_image(s["url"]).astype(np.float64)
+        luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                + 0.114 * img[:, :, 2])
+        r = got[s["asset_id"]]
+        assert (r["height"], r["width"]) == img.shape[:2], s["url"]
+        assert abs(r["mean_luma"] - float(luma.mean())) < 1e-9, s["url"]
+    out = html_out.unionByName(png_out)
+    html_assets.unpersist()
+    png_assets.unpersist()
     return out
 
 

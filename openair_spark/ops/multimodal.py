@@ -2,16 +2,22 @@
 
 Images/audio/video are opaque `binary` columns with a typed metadata
 struct; everything Spark-side — schema, column pruning, partitioning,
-Arrow batch shapes, UDF signatures — is real and tested. Only the
-actual media decode is STUBBED: the container ships no image/audio
-libraries, so `decode_image` raises NotImplementedError unless a
-deterministic fake decoder is requested (`fake=True`), which derives a
-stable small "pixel" tensor from the payload hash. Swap `_decode_one`
-for PIL/ffmpeg on a real cluster; nothing else changes.
+Arrow batch shapes, UDF signatures — is real and tested.
 
-Asset source in this repo: the pages table's `html` binary column —
-each page yields one `text/html` asset; synthetic `image/png` assets
-are derived deterministically for pipeline testing.
+Decode is REAL for PNG payloads: `ops/png.py` is a from-scratch
+stdlib-zlib + numpy PNG decoder (chunk walk, inflate, per-scanline
+unfilter), so `decode_features(assets, fake=False)` produces true pixel
+statistics for `image/png` assets — no image library needed. Other
+media types (JPEG, audio, video) stay codec-gated behind
+NotImplementedError (the container genuinely lacks those codecs);
+`fake=True` keeps the deterministic hash-stub decoder for them so the
+plumbing is testable end-to-end. Swap `_decode_one`'s gated branch for
+PIL/ffmpeg on a real cluster; nothing else changes.
+
+Asset sources in this repo: the pages table's `html` binary column
+(one `text/html` asset per page) and `synth_png_assets` (one real,
+deterministically synthesized `image/png` asset per page, encoded with
+ops/png.encode_png).
 """
 
 from __future__ import annotations
@@ -55,16 +61,77 @@ def extract_assets(pages: DataFrame) -> DataFrame:
     )
 
 
-def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
-    """STUB decode: no image codecs in this container.
+def synth_png_image(url: str) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 RGB image for a url — sized and
+    filled from sha256(url), the image-asset analogue of the synthetic
+    page corpus (same content on driver and executors, any process)."""
+    digest = hashlib.sha256(url.encode("utf-8")).digest()
+    h = 8 + digest[0] % 8
+    w = 8 + digest[1] % 8
+    need = h * w * 3
+    flat = np.frombuffer((digest * (need // len(digest) + 1))[:need],
+                         dtype=np.uint8)
+    return flat.reshape(h, w, 3)
 
-    fake=True derives a deterministic (h, w) luma tile from the payload
-    hash so downstream plumbing (resize, stats, signatures) is testable
-    end-to-end; fake=False is the integration point for a real codec.
+
+def synth_png_assets(pages: DataFrame) -> DataFrame:
+    """pages -> one REAL `image/png` asset row per page: a deterministic
+    RGB image derived from the url, encoded with the from-scratch
+    ops/png encoder. Arrow mapInPandas (encode is Python); the payload
+    round-trips through decode_features(fake=False) to true pixel
+    stats."""
+    from . import png
+
+    src = pages.select("url")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                payload = png.encode_png(synth_png_image(url))
+                out.append({
+                    "asset_id": hashlib.sha256(payload).hexdigest()[:16],
+                    "url": url,
+                    "kind": "png",
+                    "payload": payload,
+                    "meta": {
+                        "content_type": "image/png",
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                    },
+                })
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "url", "kind", "payload", "meta"])
+
+    return src.mapInPandas(kernel, ASSETS_SCHEMA)
+
+
+def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
+    """payload -> (h, w, float64 luma tile).
+
+    PNG payloads decode for REAL (ops/png.py, pure stdlib+numpy): gray
+    passes through, color reduces to Rec.601 luma
+    (0.299 R + 0.587 G + 0.114 B). Non-PNG payloads: fake=True derives
+    a deterministic tile from the payload hash (plumbing stays testable
+    end-to-end); fake=False raises — those codecs are genuinely absent
+    in this container.
     """
+    from . import png
+
+    if png.is_png(payload):
+        img = png.decode_png(payload).astype(np.float64)
+        h, w, ch = img.shape
+        if ch == 1:
+            luma = img[:, :, 0]
+        elif ch == 2:  # gray + alpha
+            luma = img[:, :, 0]
+        else:
+            luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                    + 0.114 * img[:, :, 2])
+        return h, w, luma
     if not fake:
         raise NotImplementedError(
-            "media decode requires an image codec (PIL/libvips) not present "
+            "non-PNG media decode requires a codec (PIL/ffmpeg) not present "
             "in this environment; pass fake=True for the deterministic stub")
     digest = hashlib.sha256(payload).digest()
     h = 8 + digest[0] % 8

@@ -43,6 +43,40 @@ def test_real_decode_is_gated(assets):
     assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
 
 
+def test_png_assets_real_decode(spark):
+    """synth_png_assets emits real PNGs; decode_features(fake=False)
+    must reproduce the exact driver-side pixel statistics."""
+    import numpy as np
+
+    from openair_spark.ops.multimodal import synth_png_assets, synth_png_image
+
+    assets = synth_png_assets(pages_df(spark, 12, "mm-png")).cache()
+    for r in assets.select("meta", "payload").collect():
+        assert r["meta"]["content_type"] == "image/png"
+        assert bytes(r["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+    feats = decode_features(assets, fake=False).collect()
+    assert len(feats) == 12
+    by_id = {r["asset_id"]: r for r in feats}
+    for row in assets.select("url", "asset_id").collect():
+        img = synth_png_image(row["url"]).astype(np.float64)
+        luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                + 0.114 * img[:, :, 2])
+        r = by_id[row["asset_id"]]
+        assert (r["height"], r["width"]) == img.shape[:2]
+        assert abs(r["mean_luma"] - float(luma.mean())) < 1e-9
+    assets.unpersist()
+
+
+def test_png_resize_real_path(spark):
+    from openair_spark.ops.multimodal import synth_png_assets
+
+    assets = synth_png_assets(pages_df(spark, 6, "mm-png2"))
+    tiles = resize_tiles(assets, out_h=4, out_w=4, fake=False).collect()
+    assert len(tiles) == 6
+    assert all(len(r["tile"]) == 16 for r in tiles)
+    assert all(0.0 <= v <= 255.0 for r in tiles for v in r["tile"])
+
+
 def test_resize_and_frames(assets):
     tiles = resize_tiles(assets, out_h=4, out_w=4).collect()
     assert all(len(r["tile"]) == 16 for r in tiles)
