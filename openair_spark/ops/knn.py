@@ -152,11 +152,14 @@ def knn_join(points: DataFrame, centroids: DataFrame, k: int = 3,
         .drop("cell", "c_lat", "c_lon")
     )
     # ranked feeds BOTH the safety aggregate and the safe-hit anti-join;
-    # without a persist the candidate join + window execute twice
-    # (the round-2 bench regression). Bounded: <= k rows per point.
-    from pyspark import StorageLevel
-
-    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    # without materialization the candidate join + window execute twice
+    # (the round-2 bench regression). An eager localCheckpoint instead
+    # of persist(): same single-traversal guarantee and MEMORY_AND_DISK
+    # storage, but the blocks are released by the ContextCleaner when
+    # the returned frame is dropped — repeated knn_join calls in one
+    # session no longer accumulate session-lifetime cached partitions
+    # (ADVICE r3). Bounded: <= k rows per point.
+    ranked = ranked.localCheckpoint(eager=True)
 
     # ---- exactness margin: geodesic distance from the point to the
     # nearest edge of its ring window, conservatively min of the lat

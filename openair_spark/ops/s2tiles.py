@@ -38,6 +38,10 @@ OUTSIDE, PARTIAL, FULL = 0, 1, 2
 # dilation keeps FULL/OUTSIDE verdicts conservative at level >= 3
 _CURVATURE_DILATION = 0.05
 
+# chunk the cell axis of the crossing test to bound worker memory on
+# hostile (near-max_cells frontier x many-vertex ring) inputs
+_CLASSIFY_CHUNK = 4096
+
 
 def _classify_level(cells: np.ndarray, level: int, ring: np.ndarray,
                     leaf_sorted: np.ndarray, ring_bbox: tuple) -> np.ndarray:
@@ -92,27 +96,55 @@ def _classify_level(cells: np.ndarray, level: int, ring: np.ndarray,
     if len(sel) == 0:
         return verdict
     hb = b[alive]
+    m = len(hb)
     hx1, hy1 = hb[:, :, 0], hb[:, :, 1]
     hx2 = np.roll(hx1, -1, axis=1)
     hy2 = np.roll(hy1, -1, axis=1)
     rx1, ry1 = ring[:-1, 0], ring[:-1, 1]
     rx2, ry2 = ring[1:, 0], ring[1:, 1]
+    sxmin, sxmax = np.minimum(rx1, rx2), np.maximum(rx1, rx2)
+    symin, symax = np.minimum(ry1, ry2), np.maximum(ry1, ry2)
+    cxmin, cxmax = hx1.min(axis=1), hx1.max(axis=1)
+    cymin, cymax = hy1.min(axis=1), hy1.max(axis=1)
 
     def orient(px, py, qx, qy, rx, ry):
         return (qx - px) * (ry - py) - (qy - py) * (rx - px)
 
-    A = (hx1[:, :, None], hy1[:, :, None], hx2[:, :, None], hy2[:, :, None])
-    B = (rx1[None, None, :], ry1[None, None, :],
-         rx2[None, None, :], ry2[None, None, :])
-    d1 = orient(A[0], A[1], A[2], A[3], B[0], B[1])
-    d2 = orient(A[0], A[1], A[2], A[3], B[2], B[3])
-    d3 = orient(B[0], B[1], B[2], B[3], A[0], A[1])
-    d4 = orient(B[0], B[1], B[2], B[3], A[2], A[3])
-    crossing = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=(1, 2))
+    # edge crossings on gathered (cell, ring segment) pairs whose bboxes
+    # overlap, chunked on the cell axis — a near-max_cells frontier vs a
+    # many-vertex ring would otherwise allocate (m, 4, R) orientation
+    # tensors in one shot (ADVICE r3); mirrors ops/h3tiles._classify_batch
+    crossing = np.zeros(m, dtype=bool)
+    for s0 in range(0, m, _CLASSIFY_CHUNK):
+        rows = np.arange(s0, min(s0 + _CLASSIFY_CHUNK, m))
+        pair = ((cxmin[rows, None] <= sxmax[None, :])
+                & (cxmax[rows, None] >= sxmin[None, :])
+                & (cymin[rows, None] <= symax[None, :])
+                & (cymax[rows, None] >= symin[None, :]))
+        pc, ps = np.nonzero(pair)
+        if not len(pc):
+            continue
+        pc = rows[pc]
+        ax1, ay1 = hx1[pc], hy1[pc]                   # (P, 4)
+        ax2, ay2 = hx2[pc], hy2[pc]
+        bx1, by1 = rx1[ps][:, None], ry1[ps][:, None]
+        bx2, by2 = rx2[ps][:, None], ry2[ps][:, None]
+        d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+        d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+        d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+        d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+        hit = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=1)
+        crossing[pc[hit]] = True
     partial = crossing | vertex_in[sel]
-    corners_in = points_in_ring(hx1.ravel(), hy1.ravel(), ring).reshape(-1, 4)
-    all_in = corners_in.all(axis=1)
-    any_in = corners_in.any(axis=1)
+    # corner-in-ring only for cells not already PARTIAL
+    rows = np.nonzero(~partial)[0]
+    all_in = np.zeros(m, dtype=bool)
+    any_in = np.zeros(m, dtype=bool)
+    if len(rows):
+        corners_in = points_in_ring(
+            hx1[rows].ravel(), hy1[rows].ravel(), ring).reshape(-1, 4)
+        all_in[rows] = corners_in.all(axis=1)
+        any_in[rows] = corners_in.any(axis=1)
     verdict[sel] = np.where(
         partial, PARTIAL,
         np.where(all_in, FULL, np.where(any_in, PARTIAL, OUTSIDE))

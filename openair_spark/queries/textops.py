@@ -190,20 +190,25 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """
 
-def q_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTER ASSIGNMENT: connected components over the
-    MinHash-LSH candidate pairs. Large-scale dedup needs which docs to
-    keep, not just candidate pairs — every doc's cluster_id is the
-    smallest doc_id in its component (the canonical representative).
+def connected_components(docs, pairs, max_rounds: int = 60):
+    """Connected components over an undirected pair list: every doc's
+    cluster_id becomes the smallest doc_id in its component (the
+    canonical dedup representative).
 
-    Deterministic min-label propagation (Pregel-style): each round a
-    doc's label becomes min(own, neighbors'); rounds needed = component
-    diameter (near-dup components are near-cliques from band grouping,
-    so 1-3 rounds). Each round is one equi-join + min-agg — the
-    standard scalable CC formulation; the driver loop only checks the
-    convergence counter, all data stays executor-side."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").select("doc_id").distinct()
+    Deterministic min-label propagation PLUS pointer jumping: each round
+    a doc's label becomes min(own, neighbors' labels), then is shortcut
+    to its label's label. The shortcut halves the effective distance to
+    the component minimum every round, so convergence is O(log diameter)
+    — a 200-node path component converges in ~9 rounds, not 199. Each
+    round is two equi-joins + a min-agg; all data stays executor-side,
+    the driver loop only reads the convergence counter.
+
+    Lineage discipline: intermediate labels persist (bounds recompute)
+    and `localCheckpoint` every 5 rounds (bounds logical-plan growth on
+    adversarial chain graphs); the RETURNED frame is a lineage-free
+    localCheckpoint with the loop cache already released — callers hold
+    no hidden persist. Raises instead of silently returning
+    non-converged labels if `max_rounds` is hit (ADVICE r3)."""
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -211,19 +216,35 @@ def q_dedup_clusters(spark, sf_dir):
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     labels.count()
-    for _ in range(20):
+    converged = False
+    for rnd in range(1, max_rounds + 1):
         nb = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src").agg(F.min("cluster_id").alias("nb_min"))
         )
-        new_labels = (
+        prop = (
             labels.join(nb, labels["doc_id"] == nb["src"], "left")
             .select(labels["doc_id"],
                     F.least(labels["cluster_id"],
                             F.coalesce(nb["nb_min"], labels["cluster_id"])
                             ).alias("cluster_id"))
-            .persist()
         )
+        # pointer jumping: label <- label(label). Labels are always doc
+        # ids inside the same component, so the shortcut stays in the
+        # component and is monotone toward its minimum.
+        shortcut = labels.select(F.col("doc_id").alias("lbl_doc"),
+                                 F.col("cluster_id").alias("lbl_lbl"))
+        new_labels = (
+            prop.join(shortcut, prop["cluster_id"] == shortcut["lbl_doc"], "left")
+            .select(prop["doc_id"],
+                    F.least(prop["cluster_id"],
+                            F.coalesce("lbl_lbl", prop["cluster_id"])
+                            ).alias("cluster_id"))
+        )
+        if rnd % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -233,9 +254,30 @@ def q_dedup_clusters(spark, sf_dir):
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
-    return labels
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component min-eccentricity > 2^rounds is not plausible — "
+            "check the edge list)")
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the
+    MinHash-LSH candidate pairs (see connected_components for the
+    propagation + pointer-jumping scheme and its lineage discipline).
+    Large-scale dedup needs which docs to keep, not just candidate
+    pairs — every doc's cluster_id is the smallest doc_id in its
+    component."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id").distinct()
+    return connected_components(docs, pairs)
 
 
 SQL_DEDUP_CLUSTERS = f"""

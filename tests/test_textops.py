@@ -40,3 +40,30 @@ def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path):
     out = q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out}
     assert pairs == {(n_hot, n_hot + 1): 1.0}
+
+
+def test_connected_components_long_path(spark):
+    """Worst-case diameter: a 200-node PATH component must converge to a
+    single cluster labeled by its minimum node — pointer jumping makes
+    this O(log n) rounds; without it, min-label propagation alone needs
+    199 rounds and the old 20-round cap silently returned wrong labels
+    (ADVICE r3). Also checks an isolated doc and a separate triangle."""
+    from pyspark.sql import functions as F
+
+    from openair_spark.queries.textops import connected_components
+
+    n = 200
+    path_pairs = [(i, i + 1) for i in range(n - 1)]           # 0-..-199
+    tri = [(300, 301), (301, 302), (300, 302)]                # triangle
+    pairs = spark.createDataFrame(path_pairs + tri, "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(300,), (301,), (302,), (400,)],
+        "doc_id long")
+    labels = connected_components(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert all(got[i] == 0 for i in range(n)), "path not fully labeled"
+    assert got[300] == got[301] == got[302] == 300
+    assert got[400] == 400
+    # bounded plan: the returned frame is a lineage-free localCheckpoint
+    assert "Scan ExistingRDD" in labels._jdf.queryExecution().toString() or \
+        len(labels._jdf.queryExecution().optimizedPlan().toString()) < 2000
