@@ -968,6 +968,9 @@ def _derive_vert_offsets():
 
 _VERTS_CII, _VERTS_CIII = _derive_vert_offsets()
 
+# sqrt(7)^res lookup (res+1 entries cover the class III adjust)
+_SQRT7_POW = M_SQRT7 ** np.arange(MAX_RES + 2, dtype=np.float64)
+
 _ILUT = None
 
 
@@ -998,43 +1001,52 @@ def _overage_pass_arrays(f, i, j, k, res_adj, pl4, substrate, t, allowed=None):
     Rows whose coordinates do not overflow their face (or are outside
     `allowed`) pass through unchanged; `pl4` (optional bool mask) marks
     pentagon-leading-4 rows needing the deleted-k-subsequence rotation.
-    Returns (moved_mask, f, i, j, k)."""
+    Returns (moved_mask, f, i, j, k). The transform runs GATHERED on the
+    overflowing subset only — in boundary/cover batches that subset is
+    usually empty or tiny (cells near icosahedron edges)."""
     _, _, g_lut, rot_lut, tr_lut, _ = _inv_luts(t)
     pw = 7 ** (res_adj // 2)
     max_dim = (6 if substrate else 2) * pw
     over = (i + j + k) > max_dim
     if allowed is not None:
         over = over & allowed
-    if not bool(over.any()):
+    idxs = np.nonzero(over)[0]
+    if len(idxs) == 0:
         return over, f, i, j, k
-    quad = np.where(k > 0, np.where(j > 0, _QUAD_JK, _QUAD_KI), _QUAD_IJ)
+    fo = f[idxs]
+    io, jo, ko = i[idxs], j[idxs], k[idxs]
+    md = max_dim[idxs] if np.ndim(max_dim) else max_dim
+    pwo = pw[idxs] if np.ndim(pw) else pw
+    quad = np.where(ko > 0, np.where(jo > 0, _QUAD_JK, _QUAD_KI), _QUAD_IJ)
     if pl4 is not None:
-        m = over & pl4 & (quad == _QUAD_KI)
+        m = pl4[idxs] & (quad == _QUAD_KI)
         if bool(m.any()):
-            i, j, k = i.copy(), j.copy(), k.copy()
-            oi = max_dim[m] if np.ndim(max_dim) else max_dim
+            oi = md[m] if np.ndim(md) else md
             di, dj, dk = _normalize_ijk_arrays(
-                (i[m] - oi) + j[m], j[m] + k[m], (i[m] - oi) + k[m])
-            i[m], j[m], k[m] = di + oi, dj, dk
-    gf = g_lut[f, quad]
-    rot = np.where(over, rot_lut[f, quad], 0)
-    ni, nj, nk = i.copy(), j.copy(), k.copy()
+                (io[m] - oi) + jo[m], jo[m] + ko[m], (io[m] - oi) + ko[m])
+            io[m], jo[m], ko[m] = di + oi, dj, dk
+    gf = g_lut[fo, quad]
+    rot = rot_lut[fo, quad]
     for _ in range(5):
         mm = rot > 0
         if not bool(mm.any()):
             break
         # raw ccw rotation + min-subtraction (keep sum geometry)
-        ri, rj, rk = ni[mm] + nk[mm], ni[mm] + nj[mm], nj[mm] + nk[mm]
+        ri, rj, rk = io[mm] + ko[mm], io[mm] + jo[mm], jo[mm] + ko[mm]
         mn = np.minimum(np.minimum(ri, rj), rk)
-        ni[mm], nj[mm], nk[mm] = ri - mn, rj - mn, rk - mn
+        io[mm], jo[mm], ko[mm] = ri - mn, rj - mn, rk - mn
         rot = rot - mm.astype(np.int64)
-    unit = pw * (3 if substrate else 1)
+    unit = pwo * (3 if substrate else 1)
     ti, tj, tk = _normalize_ijk_arrays(
-        ni + tr_lut[f, quad, 0] * unit,
-        nj + tr_lut[f, quad, 1] * unit,
-        nk + tr_lut[f, quad, 2] * unit)
-    return (over, np.where(over, gf, f), np.where(over, ti, i),
-            np.where(over, tj, j), np.where(over, tk, k))
+        io + tr_lut[fo, quad, 0] * unit,
+        jo + tr_lut[fo, quad, 1] * unit,
+        ko + tr_lut[fo, quad, 2] * unit)
+    f2, i2, j2, k2 = f.copy(), i.copy(), j.copy(), k.copy()
+    f2[idxs] = gf
+    i2[idxs] = ti
+    j2[idxs] = tj
+    k2[idxs] = tk
+    return over, f2, i2, j2, k2
 
 
 def cells_to_face_ijk(cells, t=None):
@@ -1049,14 +1061,19 @@ def cells_to_face_ijk(cells, t=None):
     res = ((hh >> np.uint64(_RES_OFFSET)) & np.uint64(0xF)).astype(np.int64)
     bc = ((hh >> np.uint64(_BC_OFFSET)) & np.uint64(0x7F)).astype(np.int64)
     max_r = int(res.max()) if n else 0
-    digs = np.zeros((n, max_r + 1), dtype=np.int64)
-    for r in range(1, max_r + 1):
-        d = ((hh >> np.uint64(_DIGIT_BITS * (MAX_RES - r))) & np.uint64(7))
-        digs[:, r] = np.where(r <= res, d.astype(np.int64), 0)
-    lead = np.zeros(n, dtype=np.int64)
-    for r in range(1, max_r + 1):
-        m = (lead == 0) & (digs[:, r] != 0)
-        lead[m] = digs[m, r]
+    # uniform-res inputs (every cover-level call) skip the per-level
+    # res masks throughout
+    uniform = n > 0 and int(res.min()) == max_r
+    # all digits in one broadcast shift; column 0 stays zero
+    shifts = np.uint64(_DIGIT_BITS) * (np.uint64(MAX_RES)
+                                       - np.arange(max_r + 1, dtype=np.uint64))
+    digs = ((hh[:, None] >> shifts[None, :]) & np.uint64(7)).astype(np.int64)
+    digs[:, 0] = 0
+    if not uniform:
+        digs[np.arange(max_r + 1)[None, :] > res[:, None]] = 0
+    nz = digs != 0
+    first = np.argmax(nz, axis=1)
+    lead = np.where(nz.any(axis=1), digs[np.arange(n), first], 0)
     pent = pent_lut[bc]
     m5 = pent & (lead == 5)
     if bool(m5.any()):
@@ -1065,17 +1082,28 @@ def cells_to_face_ijk(cells, t=None):
     f = home[bc, 0]
     i, j, k = home[bc, 1].copy(), home[bc, 2].copy(), home[bc, 3].copy()
     poss = pent | ~((res == 0) | ((i == 0) & (j == 0) & (k == 0)))
+    # The descent runs RAW (no per-level normalization): the aperture-7
+    # down transforms are linear, so a uniform per-row offset c becomes
+    # 4c after a down step and survives the unit-vector digit add; a
+    # single min-subtraction after the loop removes the accumulated
+    # offset and yields identical coordinates. Two normalize passes per
+    # level were the cover profile's hottest spot (int64 headroom:
+    # coords <= ~1e8 at res 15).
     for r in range(1, max_r + 1):
-        act = r <= res
         if r % 2 == 1:
-            ni, nj, nk = _down_ap7_arrays(i, j, k)
+            ni, nj, nk = 3 * i + j, 3 * j + k, i + 3 * k
         else:
-            ni, nj, nk = _down_ap7r_arrays(i, j, k)
+            ni, nj, nk = 3 * i + k, i + 3 * j, j + 3 * k
         u = _UNIT_IJK[digs[:, r]]
-        ni, nj, nk = _normalize_ijk_arrays(ni + u[:, 0], nj + u[:, 1], nk + u[:, 2])
-        i = np.where(act, ni, i)
-        j = np.where(act, nj, j)
-        k = np.where(act, nk, k)
+        ni, nj, nk = ni + u[:, 0], nj + u[:, 1], nk + u[:, 2]
+        if uniform:
+            i, j, k = ni, nj, nk
+        else:
+            act = r <= res
+            i = np.where(act, ni, i)
+            j = np.where(act, nj, j)
+            k = np.where(act, nk, k)
+    i, j, k = _normalize_ijk_arrays(i, j, k)
     oi, oj, ok = i, j, k
     odd = (res % 2) == 1
     di, dj, dk = _down_ap7r_arrays(i, j, k)
@@ -1113,7 +1141,7 @@ def _hex2d_to_geo_arrays(x, y, face, res, substrate=False):
     res = np.asarray(res, dtype=np.int64)
     r = np.hypot(x, y)
     theta = np.arctan2(y, x)
-    r = r / np.power(M_SQRT7, res.astype(np.float64))
+    r = r / _SQRT7_POW[res]
     if substrate:
         r = r / 3.0
     r = np.arctan(r * RES0_U_GNOMONIC)
@@ -1131,20 +1159,17 @@ def _hex2d_to_geo_arrays(x, y, face, res, substrate=False):
 
 
 def is_pentagon_arrays(cells, t=None):
+    """Pentagon base cell AND all digits zero — the digit check is one
+    shift/mask: digits 1..res occupy bits 3*(15-res) .. 44."""
     if t is None:
         t = _tables()
     _, pent_lut, _, _, _, _ = _inv_luts(t)
     hh = np.asarray(cells, dtype=np.int64).astype(np.uint64)
-    res = ((hh >> np.uint64(_RES_OFFSET)) & np.uint64(0xF)).astype(np.int64)
+    res = (hh >> np.uint64(_RES_OFFSET)) & np.uint64(0xF)
     bc = ((hh >> np.uint64(_BC_OFFSET)) & np.uint64(0x7F)).astype(np.int64)
-    lead = np.zeros(len(hh), dtype=np.int64)
-    max_r = int(res.max()) if len(hh) else 0
-    for r in range(1, max_r + 1):
-        d = ((hh >> np.uint64(_DIGIT_BITS * (MAX_RES - r))) & np.uint64(7))
-        d = np.where(r <= res, d.astype(np.int64), 0)
-        m = (lead == 0) & (d != 0)
-        lead[m] = d[m]
-    return pent_lut[bc] & (lead == 0)
+    shift = np.uint64(3) * (np.uint64(MAX_RES) - res)
+    mask = (np.uint64(1) << (np.uint64(3) * res)) - np.uint64(1)
+    return pent_lut[bc] & (((hh >> shift) & mask) == 0)
 
 
 def cells_to_latlng(cells, t=None):
@@ -1174,6 +1199,11 @@ def cells_to_boundaries(cells, t=None, distortion=False):
     the face-edge intersection (slot 2v precedes vertex slot 2v+1;
     absent distortion slots duplicate the following vertex — degenerate,
     harmless to point-in-polygon / crossing tests).
+    distortion="sparse" returns (verts6, rows, out12) instead: the
+    6-vertex boundaries for ALL cells plus 12-slot boundaries only for
+    the `rows` that actually have distortion vertices — for a localized
+    cover away from icosahedron edges that subset is empty, and the
+    classify kernels skip the doubled vertex math (perf path).
 
     Pentagons are exact too (published _faceIjkPentToCellBoundary,
     re-derived): their 5 substrate vertices are the first five hexagon
@@ -1189,11 +1219,14 @@ def cells_to_boundaries(cells, t=None, distortion=False):
     cells = np.asarray(cells, dtype=np.int64)
     n = len(cells)
     f, i, j, k, res = cells_to_face_ijk(cells, t)
-    # center into the substrate grid (33r, plus 7r for class III)
-    i, j, k = _down_ap3_arrays(i, j, k)
-    i, j, k = _down_ap3r_arrays(i, j, k)
+    # center into the substrate grid (33r, plus 7r for class III): raw
+    # linear aperture steps — a uniform per-row offset survives them and
+    # the vertex-offset add, so the single normalization below yields
+    # identical lattice points (profile: 3 normalize passes saved)
+    i, j, k = 2 * i + j, 2 * j + k, i + 2 * k          # down ap3
+    i, j, k = 2 * i + k, i + 2 * j, j + 2 * k          # down ap3r
     odd = (res % 2) == 1
-    di, dj, dk = _down_ap7r_arrays(i, j, k)
+    di, dj, dk = 3 * i + k, i + 3 * j, j + 3 * k       # down ap7r
     i = np.where(odd, di, i)
     j = np.where(odd, dj, j)
     k = np.where(odd, dk, k)
@@ -1226,9 +1259,6 @@ def cells_to_boundaries(cells, t=None, distortion=False):
     # crosses an icosahedron edge; add the intersection of the
     # (pre-overage, center-face substrate) chord with the face triangle
     # edge, projected from the center face.
-    out = np.empty((n, 12, 2), dtype=np.float64)
-    out[:, 1::2] = verts
-    out[:, 0::2] = verts  # default: duplicate the following vertex
     vface = vf.reshape(n, 6)
     on_edge = ((vi + vj + vk) == 6 * 7 ** (vres // 2)).reshape(n, 6)
     _, _, _, _, _, adj_dir = _inv_luts(t)
@@ -1238,6 +1268,22 @@ def cells_to_boundaries(cells, t=None, distortion=False):
     cross = (odd[:, None] & (vface != vface[:, prev])
              & ~on_edge[:, prev] & ~pent[:, None])
     ci, cv = np.nonzero(cross)
+    pidx = np.nonzero(pent & odd)[0]
+    sparse = distortion == "sparse"
+    if sparse:
+        rows_d = np.unique(np.concatenate(
+            [ci, pidx]).astype(np.int64)) if (len(ci) or len(pidx)) \
+            else np.empty(0, dtype=np.int64)
+        rowmap = np.full(n, -1, dtype=np.int64)
+        rowmap[rows_d] = np.arange(len(rows_d))
+        out = np.empty((len(rows_d), 12, 2), dtype=np.float64)
+        out[:, 1::2] = verts[rows_d]
+        out[:, 0::2] = verts[rows_d]
+    else:
+        rowmap = np.arange(n)
+        out = np.empty((n, 12, 2), dtype=np.float64)
+        out[:, 1::2] = verts
+        out[:, 0::2] = verts  # default: duplicate the following vertex
     if len(ci):
         pw = 7 ** (adj_res[ci] // 2)
         cf = f[ci]
@@ -1271,8 +1317,8 @@ def cells_to_boundaries(cells, t=None, distortion=False):
         ix = p0[:, 0] + tt * (p1[:, 0] - p0[:, 0])
         iy = p0[:, 1] + tt * (p1[:, 1] - p0[:, 1])
         dla, dlo = _hex2d_to_geo_arrays(ix, iy, cf, adj_res[ci], substrate=True)
-        out[ci, 2 * cv, 0] = np.degrees(dlo)
-        out[ci, 2 * cv, 1] = np.degrees(dla)
+        out[rowmap[ci], 2 * cv, 0] = np.degrees(dlo)
+        out[rowmap[ci], 2 * cv, 1] = np.degrees(dla)
     # ---- pentagon distortion vertices (published _faceIjkPentToCellBoundary,
     # re-derived): every class III pentagon edge crosses an icosahedron
     # edge. The intersection is computed in the PREVIOUS vertex's face
@@ -1280,7 +1326,6 @@ def cells_to_boundaries(cells, t=None, distortion=False):
     # that face with the derived face-neighbor transform, and the chord
     # is cut against that face's triangle edge toward the current face.
     # Pentagons are <= 12 cells per res in any input — scalar loop.
-    pidx = np.nonzero(pent & odd)[0]
     if len(pidx):
         _, _, g_lut, prot_lut, ptr_lut, adj_dir = _inv_luts(t)
         vface6 = vf.reshape(n, 6)
@@ -1329,8 +1374,10 @@ def cells_to_boundaries(cells, t=None, distortion=False):
                 dla, dlo = _hex2d_to_geo_arrays(
                     np.array([ixp]), np.array([iyp]), np.array([fl]),
                     np.array([int(adj_res[row])]), substrate=True)
-                out[row, 2 * v, 0] = math.degrees(float(dlo[0]))
-                out[row, 2 * v, 1] = math.degrees(float(dla[0]))
+                out[rowmap[row], 2 * v, 0] = math.degrees(float(dlo[0]))
+                out[rowmap[row], 2 * v, 1] = math.degrees(float(dla[0]))
+    if sparse:
+        return verts, rows_d, out
     return out
 
 

@@ -141,16 +141,25 @@ def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
                        % 2) == 1)
             vert_in[vc[inside]] = True
         partial = crossing | vert_in
-        # cell corners inside the ring? Only needed for cells not
-        # already PARTIAL (at leaf levels most boundary cells are)
+        # cell corners inside the ring? Only for cells not already
+        # PARTIAL. A non-partial cell has no edge crossing and no ring
+        # vertex inside, so its corners are all-in or all-out: ONE
+        # corner decides OUTSIDE (a mixed-corner cell without a detected
+        # crossing would need a ring vertex exactly on a cell edge —
+        # measure zero for float data); corner-0-inside cells still
+        # verify FULL against the remaining corners (conservative side).
         rows = np.nonzero(~partial)[0]
         all_in = np.zeros(m, dtype=bool)
         any_in = np.zeros(m, dtype=bool)
         if len(rows):
-            corners_in = points_in_ring(
-                hx1[rows].ravel(), hy1[rows].ravel(), ring).reshape(-1, nv)
-            all_in[rows] = corners_in.all(axis=1)
-            any_in[rows] = corners_in.any(axis=1)
+            c0 = points_in_ring(hx1[rows, 0], hy1[rows, 0], ring)
+            in_rows = rows[c0]
+            if len(in_rows):
+                rest = points_in_ring(
+                    hx1[in_rows, 1:].ravel(), hy1[in_rows, 1:].ravel(),
+                    ring).reshape(-1, nv - 1)
+                all_in[in_rows] = rest.all(axis=1)
+                any_in[in_rows] = True
         v = np.where(partial, PARTIAL,
                      np.where(all_in, FULL,
                               np.where(any_in, PARTIAL, OUTSIDE)))
@@ -159,8 +168,10 @@ def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
 
 
 def h3_cover(ring, min_res: int = 5, max_res: int = 9,
-             max_cells: int = 16384) -> list:
-    """[(h3_cell, res, is_full)] compact cover of a closed lon/lat ring.
+             max_cells: int = 16384) -> np.ndarray:
+    """(n, 3) int64 array [h3_cell, res, is_full(0/1)]: compact cover of
+    a closed lon/lat ring. (Array-native output — a 100k-cell cover as a
+    list of Python tuples was a measurable share of the kernel's cost.)
 
     Membership semantics are the H3 compact-set ones: a point p is
     covered iff some ancestor-or-self of latlng_to_cell(p, max_res) is
@@ -180,20 +191,48 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
     cx, cy = float(ring[:-1, 0].mean()), float(ring[:-1, 1].mean())
     seeds.add(int(h3.latlng_to_cell(cy, cx, min_res)))
 
-    out: list = []
+    groups: list = []
+    n_out = 0
+
+    def emit(cells_arr, res_l: int, is_full: bool) -> None:
+        nonlocal n_out
+        if len(cells_arr) == 0:
+            return
+        g = np.empty((len(cells_arr), 3), dtype=np.int64)
+        g[:, 0] = cells_arr
+        g[:, 1] = res_l
+        g[:, 2] = 1 if is_full else 0
+        groups.append(g)
+        n_out += len(g)
+
+    def done() -> np.ndarray:
+        return (np.concatenate(groups) if groups
+                else np.empty((0, 3), dtype=np.int64))
+
     seen: set = set(seeds)
     frontier = np.fromiter(seeds, dtype=np.int64)
     partial = np.empty(0, dtype=np.int64)
     dil = _CHILD_OVERHANG_DILATION if min_res < max_res else 0.0
     angs = np.arange(6) * (np.pi / 3.0)
     cos_a, sin_a = np.cos(angs), np.sin(angs)
-    # distortion vertices exist only at class III (odd) resolutions —
-    # even levels use the plain 6-vertex boundary (half the matrix work)
+    # distortion vertices exist only at class III (odd) resolutions, and
+    # only on cells crossing an icosahedron edge: classify everything on
+    # the 6-vertex boundary and re-classify the (typically empty)
+    # distortion subset on its exact 12-slot boundary
+    def classify_level(cells_arr, res_l: int, dilate) -> np.ndarray:
+        if res_l % 2 == 1:
+            b6, didx, b12 = h3.cells_to_boundaries(cells_arr, t,
+                                                   distortion="sparse")
+            v = _classify_batch(b6, ring, dilate=dilate)
+            if len(didx):
+                v[didx] = _classify_batch(b12, ring, dilate=dilate)
+            return v
+        return _classify_batch(h3.cells_to_boundaries(cells_arr, t),
+                               ring, dilate=dilate)
+
     while len(frontier):
-        bnds = h3.cells_to_boundaries(frontier, t,
-                                      distortion=(min_res % 2 == 1))
-        v = _classify_batch(bnds, ring, dilate=dil)
-        out.extend((int(c), min_res, True) for c in frontier[v == FULL])
+        v = classify_level(frontier, min_res, dil)
+        emit(frontier[v == FULL], min_res, True)
         partial = np.concatenate([partial, frontier[v == PARTIAL]])
         expand = frontier[v != OUTSIDE]
         if len(expand) == 0:
@@ -221,18 +260,16 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
         if len(partial) == 0:
             break
         children = h3.cells_to_children_next(partial, t)
-        if len(out) + len(children) > max_cells:
+        if n_out + len(children) > max_cells:
             # cap: emit the parents as partial leaves at the previous res
-            out.extend((int(c), res_l - 1, False) for c in partial)
-            return out
+            emit(partial, res_l - 1, False)
+            return done()
         dil = _CHILD_OVERHANG_DILATION if res_l < max_res else 0.0
-        bnds = h3.cells_to_boundaries(children, t,
-                                      distortion=(res_l % 2 == 1))
-        v = _classify_batch(bnds, ring, dilate=dil)
-        out.extend((int(c), res_l, True) for c in children[v == FULL])
+        v = classify_level(children, res_l, dil)
+        emit(children[v == FULL], res_l, True)
         partial = children[v == PARTIAL]
-    out.extend((int(c), max_res, False) for c in partial)
-    return out
+    emit(partial, max_res, False)
+    return done()
 
 
 H3_TILES_SCHEMA = ("url string, airspace_idx int, h3_cell long, h3_res int, "
@@ -267,11 +304,11 @@ def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9,
                     continue
                 arr = np.asarray([list(p) for p in ring], dtype=np.float64)
                 cov = h3_cover(arr, min_res, max_res, max_cells)
-                if not cov:
+                if len(cov) == 0:
                     continue
                 urls.append(url)
                 idxs.append(int(idx))
-                chunks.append(np.asarray(cov, dtype=np.int64))
+                chunks.append(cov)
             if not chunks:
                 yield pd.DataFrame(columns=cols)
                 continue
