@@ -1,25 +1,30 @@
 """True H3 compact polygon covers (north star: "Every resulting polygon
 is tiled into H3 (res 5-9) ... via a compact-cover algorithm").
 
-`h3_cover` tiles one lon/lat ring into bit-compatible H3 cells:
-BFS flood from the ring's vertex/centroid cells at `min_res`, classify
-each hexagon FULL / PARTIAL / OUTSIDE against the ring, keep FULL cells
-at their (coarsest) resolution — that IS the compact form — and refine
-PARTIAL cells through the children until `max_res`.
+`h3_cover_batch` tiles MANY lon/lat rings at once: BFS flood from each
+ring's vertex/centroid cells at `min_res`, classify every cell
+FULL / PARTIAL / OUTSIDE against ITS OWN ring, keep FULL cells at their
+(coarsest) resolution — that IS the compact form — and refine PARTIAL
+cells through the children until `max_res`.
 
-`h3_polygon_tiles` runs the cover inside an Arrow-batched mapInPandas
+Batching architecture (round 4): all per-level kernels — boundary
+computation, classification, children generation, BFS neighbor probes —
+run ONCE per refinement level for the whole batch of rings, with cells
+carrying an `owner` ring index. Per-(cell, segment) work is restricted
+to the cell's own ring by CSR expansion over the batch's concatenated
+ring edges (the same repeat/reduceat pattern as index.pip.RingSet).
+The previous per-ring loop paid ~9 ms of fixed numpy-call overhead per
+cover regardless of size — ~35% of the whole bench leg at the corpus'
+median cover of ~1.7k cells.
+
+`h3_polygon_tiles` runs the batched cover inside an Arrow mapInPandas
 over the features DataFrame — narrow map, no shuffle; a mega-polygon
-becomes many bounded (h3_cell, res) rows (skew splitting), with a
-`max_cells` guard for hostile rings.
+becomes many bounded (h3_cell, res) rows (`max_cells` guard per ring).
 
-Classification is LEVEL-BATCHED: one vectorized
-`index.h3.cells_to_boundaries` call per refinement level produces every
-candidate's substrate-exact corners (exact across icosahedron edges and
-exact pentagons incl. class III distortion vertices — see index/h3.py),
-and the vertex-in-hex / corner-in-ring / segment-crossing tests run on
-stacked arrays. Round 2 classified each cell from a Python loop, which
-made the mandate depth (res 9) unaffordable; the batched kernel runs
-the full res 5-9 sweep.
+Boundaries are substrate-exact (icosahedron edges, exact pentagons
+incl. class III distortion vertices — see index/h3.py); distortion
+handling is sparse (6-vertex classify everywhere, exact 12-slot
+re-classify for the typically-empty face-seam subset).
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..index import h3
-from ..index.pip import points_in_ring
+from ..index.pip import RingSet
 
 OUTSIDE, PARTIAL, FULL = 0, 1, 2
 
@@ -46,102 +51,115 @@ OUTSIDE, PARTIAL, FULL = 0, 1, 2
 # (cover membership = ancestor of the point's max_res cell) require.
 _CHILD_OVERHANG_DILATION = 0.15
 
-# classification works on stacked (m, 6, R) orientation matrices; chunk
-# the cell axis to bound worker memory on long rings
-_CLASSIFY_CHUNK = 4096
+# chunk the cell axis of the pair-expansion kernels to bound memory
+_CLASSIFY_CHUNK = 65536
 
 
-def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
-                    dilate=0.0) -> np.ndarray:
-    """FULL / PARTIAL / OUTSIDE verdicts of many H3 cells vs one closed
-    ring. `bnds` is (n, V, 2) [lon, lat]; `dilate` is a scalar or a
-    per-cell (n,) array; returns (n,) int8."""
+class _RingBatch:
+    """CSR geometry of a batch of closed rings: concatenated edges
+    (reusing RingSet's layout), per-segment bboxes, per-ring bbox and
+    center longitude."""
+
+    def __init__(self, rings: list):
+        self.rs = RingSet({i: r for i, r in enumerate(rings)})
+        rs = self.rs
+        self.sxmin = np.minimum(rs.x1, rs.x2)
+        self.sxmax = np.maximum(rs.x1, rs.x2)
+        self.symin = np.minimum(rs.y1, rs.y2)
+        self.symax = np.maximum(rs.y1, rs.y2)
+        self.bbox = np.stack([  # (R, 4): w, s, e, n
+            np.array([r[:, 0].min() for r in rings]),
+            np.array([r[:, 1].min() for r in rings]),
+            np.array([r[:, 0].max() for r in rings]),
+            np.array([r[:, 1].max() for r in rings]),
+        ], axis=1) if rings else np.empty((0, 4))
+        self.cx = (self.bbox[:, 0] + self.bbox[:, 2]) / 2.0
+
+
+def _classify_multi(bnds: np.ndarray, owner: np.ndarray, rb: _RingBatch,
+                    dilate: float = 0.0) -> np.ndarray:
+    """FULL / PARTIAL / OUTSIDE verdicts of many H3 cells, each against
+    its own ring (`owner` indexes rb). `bnds` is (n, V, 2) [lon, lat]."""
     n = len(bnds)
     verdict = np.zeros(n, dtype=np.int8)
     if n == 0:
         return verdict
     b = bnds
-    # antimeridian safety, mirroring the S2 cover: first make each
-    # boundary internally lon-coherent (unwrap every vertex toward the
-    # cell's vertex 0 — cells straddling ±180 otherwise classify against
-    # a self-inconsistent polygon), then shift whole cells toward the
-    # ring using the coherent mean longitude
-    ring_cx = (float(ring[:, 0].min()) + float(ring[:, 0].max())) / 2.0
+    # antimeridian safety: make each boundary internally lon-coherent
+    # (unwrap toward vertex 0), then shift whole cells toward their own
+    # ring's center longitude
     lon = b[:, :, 0]
     unwrap = 360.0 * np.round((lon[:, :1] - lon) / 360.0)
-    shift = 360.0 * np.round((ring_cx - (lon + unwrap).mean(axis=1)) / 360.0)
+    shift = 360.0 * np.round(
+        (rb.cx[owner] - (lon + unwrap).mean(axis=1)) / 360.0)
     if np.any(unwrap) or np.any(shift):
         b = b.copy()
         b[:, :, 0] += unwrap + shift[:, None]
-    if np.any(dilate):
-        d = (np.asarray(dilate, dtype=np.float64).reshape(-1, 1, 1)
-             if np.ndim(dilate) else dilate)
+    if dilate:
         c = b.mean(axis=1, keepdims=True)
-        b = c + (b - c) * (1.0 + d)
-    # cheap bbox rejection before the pair matrices
-    rw, re_ = float(ring[:, 0].min()), float(ring[:, 0].max())
-    rs, rn = float(ring[:, 1].min()), float(ring[:, 1].max())
-    near = ~((b[:, :, 0].max(axis=1) < rw) | (b[:, :, 0].min(axis=1) > re_)
-             | (b[:, :, 1].max(axis=1) < rs) | (b[:, :, 1].min(axis=1) > rn))
+        b = c + (b - c) * (1.0 + dilate)
+    # cheap bbox rejection vs own ring bbox before the pair expansion
+    bb = rb.bbox[owner]                                  # (n, 4)
+    near = ~((b[:, :, 0].max(axis=1) < bb[:, 0])
+             | (b[:, :, 0].min(axis=1) > bb[:, 2])
+             | (b[:, :, 1].max(axis=1) < bb[:, 1])
+             | (b[:, :, 1].min(axis=1) > bb[:, 3]))
     idx = np.nonzero(near)[0]
-    rx1, ry1 = ring[:-1, 0], ring[:-1, 1]
-    rx2, ry2 = ring[1:, 0], ring[1:, 1]
     nv = b.shape[1]
-    sxmin, sxmax = np.minimum(rx1, rx2), np.maximum(rx1, rx2)
-    symin, symax = np.minimum(ry1, ry2), np.maximum(ry1, ry2)
+    rs = rb.rs
 
     def orient(px, py, qx, qy, rx, ry):
         return (qx - px) * (ry - py) - (qy - py) * (rx - px)
 
     for s in range(0, len(idx), _CLASSIFY_CHUNK):
         sel = idx[s:s + _CLASSIFY_CHUNK]
-        hb = b[sel]                                   # (m, V, 2)
+        hb = b[sel]                                      # (m, V, 2)
         m = len(hb)
-        hx1, hy1 = hb[:, :, 0], hb[:, :, 1]           # (m, V)
+        o = owner[sel]
+        hx1, hy1 = hb[:, :, 0], hb[:, :, 1]              # (m, V)
         hx2 = np.roll(hx1, -1, axis=1)
         hy2 = np.roll(hy1, -1, axis=1)
         cxmin, cxmax = hx1.min(axis=1), hx1.max(axis=1)
         cymin, cymax = hy1.min(axis=1), hy1.max(axis=1)
-        # proper edge crossings — only (cell, ring segment) pairs whose
-        # bboxes overlap can cross; gather those pairs (typically a few
-        # per cell, vs the full m x R grid)
-        pair = ((cxmin[:, None] <= sxmax[None, :])
-                & (cxmax[:, None] >= sxmin[None, :])
-                & (cymin[:, None] <= symax[None, :])
-                & (cymax[:, None] >= symin[None, :]))
-        pc, ps = np.nonzero(pair)
+        # CSR expansion: every (cell, own-ring segment) pair
+        lens = rs.lens[o]
+        crow = np.repeat(np.arange(m), lens)
+        cum = np.cumsum(lens)
+        within = np.arange(int(cum[-1]) if m else 0) - np.repeat(cum - lens, lens)
+        seg = np.repeat(rs.starts[o], lens) + within
+        # vertex-in-cell first (ring vertices = segment start points):
+        # even-odd crossing number of the vertex vs the cell polygon
+        vx, vy = rs.x1[seg], rs.y1[seg]
+        vkeep = ((cxmin[crow] <= vx) & (cxmax[crow] >= vx)
+                 & (cymin[crow] <= vy) & (cymax[crow] >= vy))
+        vert_in = np.zeros(m, dtype=bool)
+        vc, vvx, vvy = crow[vkeep], vx[vkeep], vy[vkeep]
+        if len(vc):
+            py_ = vvy[:, None]
+            y_span = (hy1[vc] > py_) != (hy2[vc] > py_)  # (P, V)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x_at = hx1[vc] + ((py_ - hy1[vc])
+                                  * (hx2 - hx1)[vc] / (hy2 - hy1)[vc])
+            inside = (((y_span & (vvx[:, None] < x_at)).sum(axis=1) % 2) == 1)
+            vert_in[vc[inside]] = True
+        # proper edge crossings on bbox-overlapping pairs
+        skeep = ((cxmin[crow] <= rb.sxmax[seg]) & (cxmax[crow] >= rb.sxmin[seg])
+                 & (cymin[crow] <= rb.symax[seg]) & (cymax[crow] >= rb.symin[seg]))
+        pc, ps = crow[skeep], seg[skeep]
         crossing = np.zeros(m, dtype=bool)
         if len(pc):
-            ax1, ay1 = hx1[pc], hy1[pc]               # (P, V)
+            ax1, ay1 = hx1[pc], hy1[pc]                  # (P, V)
             ax2, ay2 = hx2[pc], hy2[pc]
-            bx1, by1 = rx1[ps][:, None], ry1[ps][:, None]
-            bx2, by2 = rx2[ps][:, None], ry2[ps][:, None]
+            bx1, by1 = rs.x1[ps][:, None], rs.y1[ps][:, None]
+            bx2, by2 = rs.x2[ps][:, None], rs.y2[ps][:, None]
             d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
             d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
             d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
             d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
             hit = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=1)
             crossing[pc[hit]] = True
-        # ring vertices inside the cell polygon? Even-odd crossing
-        # number (the distorted boundary is not strictly convex), only
-        # for (cell, ring vertex) pairs with the vertex in the cell bbox
-        vpair = ((cxmin[:, None] <= rx1[None, :])
-                 & (cxmax[:, None] >= rx1[None, :])
-                 & (cymin[:, None] <= ry1[None, :])
-                 & (cymax[:, None] >= ry1[None, :]))
-        vc, vv = np.nonzero(vpair)
-        vert_in = np.zeros(m, dtype=bool)
-        if len(vc):
-            py_ = ry1[vv][:, None]
-            y_span = (hy1[vc] > py_) != (hy2[vc] > py_)   # (P2, V)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                x_at = hx1[vc] + ((py_ - hy1[vc])
-                                  * (hx2 - hx1)[vc] / (hy2 - hy1)[vc])
-            inside = (((y_span & (rx1[vv][:, None] < x_at)).sum(axis=1)
-                       % 2) == 1)
-            vert_in[vc[inside]] = True
         partial = crossing | vert_in
-        # cell corners inside the ring? Only for cells not already
+        # cell corners inside the own ring? Only for cells not already
         # PARTIAL. A non-partial cell has no edge crossing and no ring
         # vertex inside, so its corners are all-in or all-out: ONE
         # corner decides OUTSIDE (a mixed-corner cell without a detected
@@ -152,12 +170,12 @@ def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
         all_in = np.zeros(m, dtype=bool)
         any_in = np.zeros(m, dtype=bool)
         if len(rows):
-            c0 = points_in_ring(hx1[rows, 0], hy1[rows, 0], ring)
+            c0 = rs.contains(hx1[rows, 0], hy1[rows, 0], o[rows])
             in_rows = rows[c0]
             if len(in_rows):
-                rest = points_in_ring(
+                rest = rs.contains(
                     hx1[in_rows, 1:].ravel(), hy1[in_rows, 1:].ravel(),
-                    ring).reshape(-1, nv - 1)
+                    np.repeat(o[in_rows], nv - 1)).reshape(-1, nv - 1)
                 all_in[in_rows] = rest.all(axis=1)
                 any_in[in_rows] = True
         v = np.where(partial, PARTIAL,
@@ -167,11 +185,34 @@ def _classify_batch(bnds: np.ndarray, ring: np.ndarray,
     return verdict
 
 
-def h3_cover(ring, min_res: int = 5, max_res: int = 9,
-             max_cells: int = 16384) -> np.ndarray:
-    """(n, 3) int64 array [h3_cell, res, is_full(0/1)]: compact cover of
-    a closed lon/lat ring. (Array-native output — a 100k-cell cover as a
-    list of Python tuples was a measurable share of the kernel's cost.)
+# rings per kernel group: amortizes the fixed numpy-call overhead
+# (~9 ms/cover when looped ring-at-a-time) while keeping each level's
+# working set cache-sized — one giant group regressed 2x on DRAM
+# bandwidth + large-temp page faults; measured sweep on the bench
+# corpus: 8 rings/group is the plateau (23.4s vs 28.8s per-ring vs 58s
+# one-group, single-thread, identical 1.98M cells)
+_RING_GROUP = 8
+
+
+def h3_cover_batch(rings: list, min_res: int = 5, max_res: int = 9,
+                   max_cells: int = 16384) -> list:
+    """Compact covers of many closed lon/lat rings; level-batched
+    kernels run over groups of _RING_GROUP rings (see note above).
+    Returns one (n_i, 3) int64 array [h3_cell, res, is_full(0/1)] per
+    input ring (same cells as covering each ring alone)."""
+    out: list = []
+    for s in range(0, len(rings), _RING_GROUP):
+        out.extend(_cover_group(rings[s:s + _RING_GROUP],
+                                min_res, max_res, max_cells))
+    return out
+
+
+def _cover_group(rings: list, min_res: int, max_res: int,
+                 max_cells: int) -> list:
+    """Compact covers of one group of rings in shared level-batched
+    kernels; returns one (n_i, 3) int64 array [h3_cell, res,
+    is_full(0/1)] per input ring (same cells as covering each ring
+    alone).
 
     Membership semantics are the H3 compact-set ones: a point p is
     covered iff some ancestor-or-self of latlng_to_cell(p, max_res) is
@@ -179,62 +220,82 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
     (compact form) and guarantee every max_res descendant's territory is
     inside the ring (dilated classification absorbs child overhang);
     PARTIAL cells refine to children until max_res. `max_cells` bounds
-    hostile rings: when hit — in the BFS or in refinement — remaining
-    unclassified cells are emitted as PARTIAL leaves at their current
-    resolution, so the cover stays a superset."""
-    ring = np.asarray(ring, dtype=np.float64)
+    each ring independently: a ring hitting the cap — in the BFS or in
+    refinement — emits its remaining unclassified cells as PARTIAL
+    leaves at their current resolution, so its cover stays a superset."""
+    nr = len(rings)
+    if nr == 0:
+        return []
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
     t = h3._tables()
-    # seed: cells of every ring vertex + centroid, plus BFS flood
-    # (flood-fill needs a connected superset seed touching the polygon)
-    seeds = set(int(c) for c in np.atleast_1d(
-        h3.latlng_to_cell(ring[:, 1], ring[:, 0], min_res)))
-    cx, cy = float(ring[:-1, 0].mean()), float(ring[:-1, 1].mean())
-    seeds.add(int(h3.latlng_to_cell(cy, cx, min_res)))
+    rb = _RingBatch(rings)
 
-    groups: list = []
-    n_out = 0
+    # ---- per-ring emission bookkeeping (split by owner at the end)
+    out_cells: list = []
+    out_owner: list = []
+    out_res: list = []
+    out_full: list = []
+    n_out = np.zeros(nr, dtype=np.int64)
 
-    def emit(cells_arr, res_l: int, is_full: bool) -> None:
+    def emit(cells_arr, owner_arr, res_l: int, is_full: bool) -> None:
         nonlocal n_out
         if len(cells_arr) == 0:
             return
-        g = np.empty((len(cells_arr), 3), dtype=np.int64)
-        g[:, 0] = cells_arr
-        g[:, 1] = res_l
-        g[:, 2] = 1 if is_full else 0
-        groups.append(g)
-        n_out += len(g)
+        out_cells.append(np.asarray(cells_arr, dtype=np.int64))
+        out_owner.append(np.asarray(owner_arr, dtype=np.int64))
+        out_res.append(np.full(len(cells_arr), res_l, dtype=np.int64))
+        out_full.append(np.full(len(cells_arr), 1 if is_full else 0,
+                                dtype=np.int64))
+        n_out += np.bincount(owner_arr, minlength=nr)
 
-    def done() -> np.ndarray:
-        return (np.concatenate(groups) if groups
-                else np.empty((0, 3), dtype=np.int64))
-
-    seen: set = set(seeds)
-    frontier = np.fromiter(seeds, dtype=np.int64)
-    partial = np.empty(0, dtype=np.int64)
-    dil = _CHILD_OVERHANG_DILATION if min_res < max_res else 0.0
-    angs = np.arange(6) * (np.pi / 3.0)
-    cos_a, sin_a = np.cos(angs), np.sin(angs)
-    # distortion vertices exist only at class III (odd) resolutions, and
-    # only on cells crossing an icosahedron edge: classify everything on
-    # the 6-vertex boundary and re-classify the (typically empty)
-    # distortion subset on its exact 12-slot boundary
-    def classify_level(cells_arr, res_l: int, dilate) -> np.ndarray:
+    def classify_level(cells_arr, owner_arr, res_l: int, dilate) -> np.ndarray:
         if res_l % 2 == 1:
             b6, didx, b12 = h3.cells_to_boundaries(cells_arr, t,
                                                    distortion="sparse")
-            v = _classify_batch(b6, ring, dilate=dilate)
+            v = _classify_multi(b6, owner_arr, rb, dilate)
             if len(didx):
-                v[didx] = _classify_batch(b12, ring, dilate=dilate)
+                v[didx] = _classify_multi(b12, owner_arr[didx], rb, dilate)
             return v
-        return _classify_batch(h3.cells_to_boundaries(cells_arr, t),
-                               ring, dilate=dilate)
+        return _classify_multi(h3.cells_to_boundaries(cells_arr, t),
+                               owner_arr, rb, dilate)
 
+    # ---- seeds: every ring vertex + centroid, one forward call
+    seed_lat = np.concatenate([r[:, 1] for r in rings]
+                              + [np.array([r[:-1, 1].mean()]) for r in rings])
+    seed_lon = np.concatenate([r[:, 0] for r in rings]
+                              + [np.array([r[:-1, 0].mean()]) for r in rings])
+    seed_owner = np.concatenate(
+        [np.full(len(r), i, dtype=np.int64) for i, r in enumerate(rings)]
+        + [np.arange(nr, dtype=np.int64)])
+    seed_cells = np.atleast_1d(h3.latlng_to_cell(seed_lat, seed_lon, min_res))
+
+    seen = [set() for _ in range(nr)]
+    fr_c: list = []
+    fr_o: list = []
+    for c, o in zip(seed_cells, seed_owner):
+        if int(c) not in seen[o]:
+            seen[o].add(int(c))
+            fr_c.append(int(c))
+            fr_o.append(int(o))
+    frontier = np.asarray(fr_c, dtype=np.int64)
+    fowner = np.asarray(fr_o, dtype=np.int64)
+    seen_count = np.bincount(fowner, minlength=nr)
+
+    part_c = np.empty(0, dtype=np.int64)   # accumulated PARTIAL cells
+    part_o = np.empty(0, dtype=np.int64)
+    dil = _CHILD_OVERHANG_DILATION if min_res < max_res else 0.0
+    angs = np.arange(6) * (np.pi / 3.0)
+    cos_a, sin_a = np.cos(angs), np.sin(angs)
+
+    # ---- BFS flood at min_res, all rings in lockstep
     while len(frontier):
-        v = classify_level(frontier, min_res, dil)
-        emit(frontier[v == FULL], min_res, True)
-        partial = np.concatenate([partial, frontier[v == PARTIAL]])
-        expand = frontier[v != OUTSIDE]
+        v = classify_level(frontier, fowner, min_res, dil)
+        emit(frontier[v == FULL], fowner[v == FULL], min_res, True)
+        keep = v == PARTIAL
+        part_c = np.concatenate([part_c, frontier[keep]])
+        part_o = np.concatenate([part_o, fowner[keep]])
+        alive = v != OUTSIDE
+        expand, eowner = frontier[alive], fowner[alive]
         if len(expand) == 0:
             break
         # neighbor probes: centers one lattice step away, all six
@@ -245,31 +306,79 @@ def h3_cover(ring, min_res: int = 5, max_res: int = 9,
         py = (y[:, None] + sin_a[None, :]).ravel()
         plat, plon = h3._hex2d_to_geo_arrays(
             px, py, np.repeat(f, 6), np.repeat(res, 6))
-        nbs = h3.latlng_to_cell(np.degrees(plat), np.degrees(plon), min_res)
-        fresh = [int(nb) for nb in np.unique(nbs) if int(nb) not in seen]
-        seen.update(fresh)
-        frontier = np.asarray(fresh, dtype=np.int64)
-        if len(seen) > max_cells:
-            # cap: the still-unclassified frontier becomes PARTIAL
-            # leaves at min_res — the cover stays a superset
-            partial = np.concatenate([partial, frontier])
-            break
+        nbs = np.atleast_1d(h3.latlng_to_cell(
+            np.degrees(plat), np.degrees(plon), min_res))
+        nbo = np.repeat(eowner, 6)
+        # dedup (owner, cell) within the round, then against `seen`
+        pairs = np.unique(np.stack([nbo, nbs], axis=1), axis=0)
+        fr_c, fr_o = [], []
+        for o, c in pairs:
+            o = int(o)
+            c = int(c)
+            if seen_count[o] > max_cells or c in seen[o]:
+                continue
+            seen[o].add(c)
+            seen_count[o] += 1
+            fr_c.append(c)
+            fr_o.append(o)
+        frontier = np.asarray(fr_c, dtype=np.int64)
+        fowner = np.asarray(fr_o, dtype=np.int64)
+        # per-ring cap: rings over budget stop flooding; their pending
+        # frontier becomes PARTIAL leaves (cover stays a superset)
+        over = seen_count > max_cells
+        if bool(over.any()) and len(frontier):
+            capped = over[fowner]
+            part_c = np.concatenate([part_c, frontier[capped]])
+            part_o = np.concatenate([part_o, fowner[capped]])
+            frontier, fowner = frontier[~capped], fowner[~capped]
 
-    # refinement of PARTIAL cells, one vectorized level at a time
+    # ---- refinement of PARTIAL cells, one batched level at a time
     for res_l in range(min_res + 1, max_res + 1):
-        if len(partial) == 0:
+        if len(part_c) == 0:
             break
-        children = h3.cells_to_children_next(partial, t)
-        if n_out + len(children) > max_cells:
-            # cap: emit the parents as partial leaves at the previous res
-            emit(partial, res_l - 1, False)
-            return done()
+        pent = h3.is_pentagon_arrays(part_c, t)
+        kid_counts = np.where(pent, 6, 7)
+        children = h3.cells_to_children_next(part_c, t)
+        owner_c = np.repeat(part_o, kid_counts)
+        # per-ring cap: rings whose cover would overflow emit their
+        # parents as partial leaves at the previous res and stop
+        add = np.bincount(owner_c, minlength=nr)
+        over = (n_out + add) > max_cells
+        if bool(over.any()):
+            capped = over[part_o]
+            emit(part_c[capped], part_o[capped], res_l - 1, False)
+            keep = ~over[owner_c]
+            children, owner_c = children[keep], owner_c[keep]
+            if len(children) == 0:
+                part_c = np.empty(0, dtype=np.int64)
+                part_o = np.empty(0, dtype=np.int64)
+                break
         dil = _CHILD_OVERHANG_DILATION if res_l < max_res else 0.0
-        v = classify_level(children, res_l, dil)
-        emit(children[v == FULL], res_l, True)
-        partial = children[v == PARTIAL]
-    emit(partial, max_res, False)
-    return done()
+        v = classify_level(children, owner_c, res_l, dil)
+        emit(children[v == FULL], owner_c[v == FULL], res_l, True)
+        keep = v == PARTIAL
+        part_c, part_o = children[keep], owner_c[keep]
+    emit(part_c, part_o, max_res, False)
+
+    # ---- split per ring (stable by emission order)
+    if not out_cells:
+        return [np.empty((0, 3), dtype=np.int64) for _ in range(nr)]
+    cells = np.concatenate(out_cells)
+    owner = np.concatenate(out_owner)
+    res_a = np.concatenate(out_res)
+    full_a = np.concatenate(out_full)
+    order = np.argsort(owner, kind="stable")
+    flat = np.stack([cells[order], res_a[order], full_a[order]], axis=1)
+    counts = np.bincount(owner, minlength=nr)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return [flat[offs[i]:offs[i + 1]] for i in range(nr)]
+
+
+def h3_cover(ring, min_res: int = 5, max_res: int = 9,
+             max_cells: int = 16384) -> np.ndarray:
+    """(n, 3) int64 array [h3_cell, res, is_full(0/1)]: compact cover of
+    ONE closed lon/lat ring (see h3_cover_batch for semantics)."""
+    return h3_cover_batch([ring], min_res, max_res, max_cells)[0]
 
 
 H3_TILES_SCHEMA = ("url string, airspace_idx int, h3_cell long, h3_res int, "
@@ -280,8 +389,8 @@ def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9,
                      max_cells: int = 16384) -> DataFrame:
     """features(url, airspace_idx, ring, ...) -> one row per H3 cover
     cell. Narrow Arrow map (no shuffle); default res range 5-9 is the
-    north-star mandate depth (affordable since the classification is
-    level-batched)."""
+    north-star mandate depth. The whole Arrow batch covers in ONE
+    h3_cover_batch call (level-batched across polygons)."""
     from pyspark.sql import functions as F
 
     src = (
@@ -294,26 +403,25 @@ def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9,
         h3.seed_tables(h3_tables)
         cols = [c.split()[0] for c in H3_TILES_SCHEMA.split(", ")]
         for pdf in batches:
-            # columnar assembly: a cover can emit millions of rows per
-            # batch at res 9 — per-row dicts dominate the kernel cost
             urls: list = []
             idxs: list = []
-            chunks: list = []
+            rings: list = []
             for url, idx, ring in zip(pdf["url"], pdf["airspace_idx"], pdf["ring"]):
                 if ring is None or len(ring) < 4:
                     continue
-                arr = np.asarray([list(p) for p in ring], dtype=np.float64)
-                cov = h3_cover(arr, min_res, max_res, max_cells)
-                if len(cov) == 0:
-                    continue
                 urls.append(url)
                 idxs.append(int(idx))
-                chunks.append(cov)
-            if not chunks:
+                rings.append(np.asarray([list(p) for p in ring],
+                                        dtype=np.float64))
+            if not rings:
                 yield pd.DataFrame(columns=cols)
                 continue
-            counts = [len(c) for c in chunks]
-            flat = np.concatenate(chunks)
+            covers = h3_cover_batch(rings, min_res, max_res, max_cells)
+            counts = [len(c) for c in covers]
+            flat = np.concatenate(covers)
+            if len(flat) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
             yield pd.DataFrame({
                 "url": np.repeat(np.asarray(urls, dtype=object), counts),
                 "airspace_idx": np.repeat(

@@ -14,7 +14,13 @@ Methodology notes (all measured, none assumed):
   - The job: pages scan -> extract -> parse (Arrow kernels) ->
     features parquet -> tile index -> broadcast PIP join -> count.
 
-Usage: PYTHONPATH=. python tools/scaling_bench.py [n_pages] [n_points] [N] [repeats]
+Usage: PYTHONPATH=. python tools/scaling_bench.py [n_pages] [n_points] [N] [repeats] [pin] [append]
+
+With `append` as the 6th arg the run is recorded as an ADDITIONAL
+section at the end of BENCH_SCALING.md instead of rewriting it — used
+for the stress-test 8->32 pinned point, where the measured SMT ceiling
+(~0.73) makes raw >=0.8 unattainable for any job and the
+ceiling-normalized number is the meaningful one.
 """
 
 from __future__ import annotations
@@ -133,6 +139,7 @@ def main() -> None:
     n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     pin = len(sys.argv) > 5 and sys.argv[5] == "pin"
+    append = len(sys.argv) > 6 and sys.argv[6] == "append"
     n_high = n_low * 4
     hw = hw_ceiling(n_low, n_high)
     rlo = run_level(n_low, n_pages, n_points, repeats, pin=pin)
@@ -144,6 +151,31 @@ def main() -> None:
               "efficiency_n_to_4n": efficiency,
               "efficiency_vs_hw_ceiling": normalized}
     print(json.dumps(result))
+    if append:
+        sec = f"""
+
+## Additional pinned point: {n_low}->{n_high} (SMT stress test)
+
+Same job, same input, {'taskset-pinned' if pin else 'unpinned'} to
+exactly N / 4N host cores; best of {repeats} warm runs.
+
+| level | wall sec | blocks parsed | PIP rows | rows/sec |
+|---|---|---|---|---|
+| local[{n_low}] (N) | {rlo['seconds']} | {rlo['blocks']} | {rlo['pip_rows']} | {rlo['rows_per_sec']} |
+| local[{n_high}] (4N) | {rhi['seconds']} | {rhi['blocks']} | {rhi['pip_rows']} | {rhi['rows_per_sec']} |
+
+Raw efficiency **{efficiency}** against a same-run pure-CPU hardware
+ceiling of **{hw['ceiling']}** (this VM's 32 vCPUs are SMT-saturated —
+no job can scale {n_low}->{n_high} above that); ceiling-normalized
+**{normalized}**. This point stress-tests the ceiling-normalization
+story at the hostile end of the box rather than evidencing the north
+rule (the 2->8 pinned pair above does that): the raw number is bounded
+by the hardware, the normalized number shows the engine tracks the
+ceiling.
+"""
+        with open("BENCH_SCALING.md", "a") as fh:
+            fh.write(sec)
+        return
     md = f"""# BENCH_SCALING — N vs 4N throughput scaling
 
 North rule: >=0.8 throughput scaling efficiency between N and 4N
