@@ -374,6 +374,81 @@ def q_embedding_topk_cosine(spark, sf_dir):
     )
 
 
+def q_embedding_topk_blocked(spark, sf_dir):
+    """Exact cosine top-k, the 100 TB SCALE PATH (same results and same
+    DuckDB oracle as q_embedding_topk_cosine, which is the labeled
+    brute-force twin): anchors travel ONCE as a broadcast variable;
+    each embeddings partition computes the (anchors x block) similarity
+    matrix inside one Arrow kernel and emits only its per-anchor
+    PARTIAL top-k, so the only shuffle is the tiny
+    (n_anchors x k x n_partitions) winner set — no |A| x |B| row
+    explosion through the JVM, no full-side broadcast join, no global
+    window sort over all pairs.
+
+    Float discipline: dot products and norms accumulate dimension-by-
+    dimension (64 vectorized outer-product adds) — bit-identical to the
+    left-to-right fold of Spark's zip_with/aggregate and DuckDB's
+    list_sum, so round(sim, 6) agrees with the oracle everywhere
+    (pairwise/SIMD GEMM summation could flip a rounding boundary).
+    Partial ties are exact: batch rows are pre-sorted by vec_id and the
+    per-anchor sort is stable on -sim, reproducing the global
+    (sim DESC, vec_b ASC) order."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # bounded anchor set by contract; at scale the anchor side is
+    # blocked the same way and this collect becomes a per-block scan
+    a_rows = sorted(emb.where(F.col("vec_id") < _N_ANCHORS).collect(),
+                    key=lambda r: r["vec_id"])
+    a_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
+    A = np.array([list(r["v"]) for r in a_rows], dtype=np.float64)
+    dims = A.shape[1]
+    a_nrm = np.zeros(len(A))
+    for d in range(dims):          # dim-ordered fold (oracle-identical)
+        a_nrm += A[:, d] * A[:, d]
+    a_nrm = np.sqrt(a_nrm)
+    bc = spark.sparkContext.broadcast((a_ids, A, a_nrm))
+
+    def kernel(batches):
+        ids_a, Am, An = bc.value
+        na = len(ids_a)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("vec_id", kind="stable")
+            ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            nb = len(V)
+            b_nrm = np.zeros(nb)
+            S = np.zeros((na, nb))
+            for d in range(V.shape[1]):
+                b_nrm += V[:, d] * V[:, d]
+                S += Am[:, d][:, None] * V[:, d][None, :]
+            sim = np.round(S / (An[:, None] * np.sqrt(b_nrm)[None, :]), 6)
+            sim[ids_a[:, None] == ids_b[None, :]] = -np.inf  # self pairs
+            k = min(_TOPK, nb)
+            order = np.argsort(-sim, axis=1, kind="stable")[:, :k]
+            rows_a = np.repeat(ids_a, k)
+            rows_b = ids_b[order.ravel()]
+            rows_s = sim[np.repeat(np.arange(na), k), order.ravel()]
+            keep = np.isfinite(rows_s)
+            yield pd.DataFrame({"vec_a": rows_a[keep],
+                                "vec_b": rows_b[keep],
+                                "sim": rows_s[keep]})
+
+    partial = emb.mapInPandas(
+        kernel, "vec_a long, vec_b long, sim double")
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("sim").desc(), F.col("vec_b").asc())
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOPK)
+        .select("vec_a", "vec_b", "sim", "rk")
+    )
+
+
 SQL_EMBEDDING_TOPK_COSINE = f"""
 WITH e AS (
   SELECT vec_id, embedding,
@@ -950,6 +1025,7 @@ CATALOG = {
     "dedup_clusters": QueryDef(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash_fingerprint": QueryDef(q_simhash, SQL_SIMHASH),
     "embedding_topk_cosine": QueryDef(q_embedding_topk_cosine, SQL_EMBEDDING_TOPK_COSINE),
+    "embedding_topk_blocked": QueryDef(q_embedding_topk_blocked, SQL_EMBEDDING_TOPK_COSINE),
     "ann_lsh_buckets": QueryDef(q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_bucket_join": QueryDef(q_ann_bucket_join, SQL_ANN_BUCKET_JOIN),
     "langid_heuristic": QueryDef(q_langid_heuristic, SQL_LANGID_HEURISTIC),

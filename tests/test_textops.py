@@ -67,3 +67,21 @@ def test_connected_components_long_path(spark):
     # bounded plan: the returned frame is a lineage-free localCheckpoint
     assert "Scan ExistingRDD" in labels._jdf.queryExecution().toString() or \
         len(labels._jdf.queryExecution().optimizedPlan().toString()) < 2000
+
+
+def test_blocked_topk_matches_brute_across_partitions(spark, tmp_path):
+    """The blocked scale path (per-partition GEMM + partial top-k merge)
+    must equal the brute-force twin exactly even when the embeddings
+    span many partitions (the sandbox parquet is single-file, which
+    would never exercise the cross-partition winner merge)."""
+    from openair_spark.queries.textops import (
+        q_embedding_topk_blocked, q_embedding_topk_cosine)
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src.repartition(7).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet")
+    blocked = sorted(map(tuple, q_embedding_topk_blocked(
+        spark, str(tmp_path)).collect()))
+    brute = sorted(map(tuple, q_embedding_topk_cosine(
+        spark, str(tmp_path)).collect()))
+    assert blocked == brute and len(blocked) > 0
