@@ -217,3 +217,55 @@ def test_collect_ring_set_flat_edges(spark):
     empty = spark.createDataFrame([], "polygon_id string, ring array<array<double>>")
     rs = collect_ring_set(empty)
     assert rs.ids == [] and len(rs.x1) == 0
+
+
+def test_h3_cover_antimeridian_superset():
+    """A lon-coherent ring straddling ±180 (179.5..180.5): every point
+    inside must be covered — exercises the per-cell unwrap-toward-ring
+    path in the classifier (cells near the seam decode to wrapped
+    longitudes)."""
+    import numpy as np
+
+    from openair_spark.index import h3
+    from openair_spark.ops.h3tiles import h3_cover
+
+    ring = np.array([[179.5, -10.0], [180.5, -10.0], [180.5, -9.2],
+                     [179.5, -9.2], [179.5, -10.0]])
+    cover = h3_cover(ring, min_res=5, max_res=7)
+    assert len(cover) > 0
+    by_res: dict = {}
+    for cell, res, _ in cover:
+        by_res.setdefault(int(res), set()).add(int(cell))
+    rng = np.random.default_rng(4)
+    lons = rng.uniform(179.55, 180.45, 250)
+    lats = rng.uniform(-9.95, -9.25, 250)
+    max_res = max(by_res)
+    for lo, la in zip(lons, lats):
+        lo_wrapped = lo - 360.0 if lo > 180.0 else lo  # canonical form
+        leaf = int(h3.latlng_to_cell(la, lo_wrapped, max_res))
+        assert any(h3.cell_to_parent(leaf, res) in cells
+                   for res, cells in by_res.items()), (lo, la)
+
+
+def test_s2_cover_antimeridian_superset():
+    """Same ±180-straddling ring through the S2 cover: membership is
+    exact id-range containment of the point's level-30 leaf."""
+    import numpy as np
+
+    from openair_spark.index import s2
+    from openair_spark.ops.s2tiles import s2_cover
+
+    ring = np.array([[179.5, -10.0], [180.5, -10.0], [180.5, -9.2],
+                     [179.5, -9.2], [179.5, -10.0]])
+    cover = s2_cover(ring, max_level=9)
+    assert len(cover) > 0
+    cells = np.array([c for c, _, _ in cover], dtype=np.int64).astype(np.uint64)
+    lo_r, hi_r = s2.range_min_max_arrays(cells)
+    rng = np.random.default_rng(4)
+    lons = rng.uniform(179.55, 180.45, 250)
+    lats = rng.uniform(-9.95, -9.25, 250)
+    lons = np.where(lons > 180.0, lons - 360.0, lons)
+    leafs = np.asarray(s2.cell_id(lats, lons, s2.MAX_LEVEL),
+                       dtype=np.int64).astype(np.uint64)
+    for leaf in leafs:
+        assert bool(((lo_r <= leaf) & (leaf <= hi_r)).any())
