@@ -297,6 +297,89 @@ SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc
 """
 
 
+# ------------------------------------------- decontamination + repetition
+
+# held-out "benchmark" slice of the documents table (by construction the
+# lowest doc_ids) — stands in for an eval set a training pipeline must
+# scrub against
+_N_BENCH = 25
+
+
+def q_decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark DECONTAMINATION: find training documents sharing any
+    word-3-gram with a held-out benchmark set — the standard scrub a
+    training pipeline runs so eval data does not leak into training.
+
+    Scalable shape: the benchmark shingle set is small by construction
+    (eval sets are thousands of docs, not billions), so it broadcasts;
+    the training side streams through one equi-join on the shingle —
+    no all-pairs, no shuffle of the training side."""
+    sh = _spark_shingles(load(spark, sf_dir, "documents"))
+    bench = sh.where(F.col("doc_id") < _N_BENCH).select(
+        F.col("doc_id").alias("bench_id"), "shingle")
+    train = sh.where(F.col("doc_id") >= _N_BENCH)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+SQL_DECONTAM_NGRAM_OVERLAP = f"""
+WITH sh AS ({_SQL_SHINGLES})
+SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+FROM sh t JOIN sh b ON t.shingle = b.shingle
+WHERE b.doc_id < {_N_BENCH} AND t.doc_id >= {_N_BENCH}
+GROUP BY 1, 2
+"""
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Intra-document repetition (Gopher-style quality rule): the
+    fraction of a document's word-3-grams that are duplicates of an
+    earlier gram in the same document. Pure groupBy/agg — partial
+    aggregation map-side, one narrow shuffle on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        words
+        .withColumn("w1", F.lead("word", 1).over(w))
+        .withColumn("w2", F.lead("word", 2).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("gram"))
+    )
+    per = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"))
+    return per.select(
+        "doc_id", "n_grams", "n_distinct",
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double")
+                / F.col("n_grams").cast("double"), 6).alias("rep_ratio"))
+
+
+SQL_REPETITION_RATIO = """
+WITH grams AS (
+  SELECT doc_id, concat_ws(' ', word, w1, w2) AS gram
+  FROM (
+    SELECT doc_id, word, pos,
+           lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+  ) WHERE w2 IS NOT NULL
+)
+SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+       round(1.0 - CAST(count(DISTINCT gram) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS rep_ratio
+FROM grams GROUP BY doc_id
+"""
+
+
 _SIMHASH_BITS = 16
 
 
@@ -1028,6 +1111,9 @@ CATALOG = {
     "embedding_topk_blocked": QueryDef(q_embedding_topk_blocked, SQL_EMBEDDING_TOPK_COSINE),
     "ann_lsh_buckets": QueryDef(q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_bucket_join": QueryDef(q_ann_bucket_join, SQL_ANN_BUCKET_JOIN),
+    "decontam_ngram_overlap": QueryDef(q_decontam_ngram_overlap,
+                                       SQL_DECONTAM_NGRAM_OVERLAP),
+    "repetition_ratio": QueryDef(q_repetition_ratio, SQL_REPETITION_RATIO),
     "langid_heuristic": QueryDef(q_langid_heuristic, SQL_LANGID_HEURISTIC),
     "quality_score": QueryDef(q_quality_score, SQL_QUALITY_SCORE),
     "token_count": QueryDef(q_token_count, SQL_TOKEN_COUNT),
