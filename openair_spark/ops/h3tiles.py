@@ -95,9 +95,11 @@ def _classify_multi(bnds: np.ndarray, owner: np.ndarray, rb: _RingBatch,
     if np.any(unwrap) or np.any(shift):
         b = b.copy()
         b[:, :, 0] += unwrap + shift[:, None]
-    if dilate:
+    if np.any(dilate):
+        d = (np.asarray(dilate, dtype=np.float64).reshape(-1, 1, 1)
+             if np.ndim(dilate) else dilate)
         c = b.mean(axis=1, keepdims=True)
-        b = c + (b - c) * (1.0 + dilate)
+        b = c + (b - c) * (1.0 + d)
     # cheap bbox rejection vs own ring bbox before the pair expansion
     bb = rb.bbox[owner]                                  # (n, 4)
     near = ~((b[:, :, 0].max(axis=1) < bb[:, 0])
@@ -207,6 +209,34 @@ def h3_cover_batch(rings: list, min_res: int = 5, max_res: int = 9,
     return out
 
 
+def _res_of(cells: np.ndarray) -> np.ndarray:
+    return ((np.asarray(cells, dtype=np.int64).astype(np.uint64)
+             >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+
+
+def _start_res_for(rings: list, min_res: int, max_cells: int) -> np.ndarray:
+    """Per-ring BFS start resolution: normally min_res, but a ring whose
+    bbox cannot fit within max_cells at min_res starts coarser — under
+    the cap, SUPERSET beats the res-range preference (a truncated BFS
+    would silently leave interior regions uncovered, the round-4 cap
+    test's failure mode). Estimate = bbox solid angle / mean cell area
+    at res r (4*pi / (122 * 7^r)), with 2x slack for hex staircase."""
+    out = np.full(len(rings), min_res, dtype=np.int64)
+    for i, r in enumerate(rings):
+        s_, n_ = np.radians(max(-90.0, r[:, 1].min())), np.radians(
+            min(90.0, r[:, 1].max()))
+        dlon = np.radians(min(360.0, float(r[:, 0].max() - r[:, 0].min())))
+        sr = max(dlon * (np.sin(n_) - np.sin(s_)), 0.0)
+        res = min_res
+        while res > 0:
+            est = sr / (4.0 * np.pi / (122.0 * 7.0 ** res))
+            if est * 2.0 <= max_cells:
+                break
+            res -= 1
+        out[i] = res
+    return out
+
+
 def _cover_group(rings: list, min_res: int, max_res: int,
                  max_cells: int) -> list:
     """Compact covers of one group of rings in shared level-batched
@@ -220,15 +250,18 @@ def _cover_group(rings: list, min_res: int, max_res: int,
     (compact form) and guarantee every max_res descendant's territory is
     inside the ring (dilated classification absorbs child overhang);
     PARTIAL cells refine to children until max_res. `max_cells` bounds
-    each ring independently: a ring hitting the cap — in the BFS or in
-    refinement — emits its remaining unclassified cells as PARTIAL
-    leaves at their current resolution, so its cover stays a superset."""
+    each ring independently: an oversized ring starts its BFS at a
+    coarser resolution (see _start_res_for — its FULL cells may then sit
+    below min_res, keeping the cover a superset under the cap), and a
+    ring overflowing during refinement emits its pending cells as
+    PARTIAL leaves at their current resolution."""
     nr = len(rings)
     if nr == 0:
         return []
     rings = [np.asarray(r, dtype=np.float64) for r in rings]
     t = h3._tables()
     rb = _RingBatch(rings)
+    start_res = _start_res_for(rings, min_res, max_cells)
 
     # ---- per-ring emission bookkeeping (split by owner at the end)
     out_cells: list = []
@@ -237,29 +270,42 @@ def _cover_group(rings: list, min_res: int, max_res: int,
     out_full: list = []
     n_out = np.zeros(nr, dtype=np.int64)
 
-    def emit(cells_arr, owner_arr, res_l: int, is_full: bool) -> None:
+    def emit(cells_arr, owner_arr, res_v, is_full: bool) -> None:
         nonlocal n_out
         if len(cells_arr) == 0:
             return
         out_cells.append(np.asarray(cells_arr, dtype=np.int64))
         out_owner.append(np.asarray(owner_arr, dtype=np.int64))
-        out_res.append(np.full(len(cells_arr), res_l, dtype=np.int64))
+        out_res.append(np.full(len(cells_arr), res_v, dtype=np.int64)
+                       if np.ndim(res_v) == 0
+                       else np.asarray(res_v, dtype=np.int64))
         out_full.append(np.full(len(cells_arr), 1 if is_full else 0,
                                 dtype=np.int64))
         n_out += np.bincount(owner_arr, minlength=nr)
 
-    def classify_level(cells_arr, owner_arr, res_l: int, dilate) -> np.ndarray:
-        if res_l % 2 == 1:
-            b6, didx, b12 = h3.cells_to_boundaries(cells_arr, t,
-                                                   distortion="sparse")
-            v = _classify_multi(b6, owner_arr, rb, dilate)
-            if len(didx):
-                v[didx] = _classify_multi(b12, owner_arr[didx], rb, dilate)
-            return v
-        return _classify_multi(h3.cells_to_boundaries(cells_arr, t),
-                               owner_arr, rb, dilate)
+    def classify_level(cells_arr, owner_arr, dilate) -> np.ndarray:
+        # sparse distortion handles mixed-parity batches: only class III
+        # cells crossing an icosahedron edge land in the 12-slot subset
+        b6, didx, b12 = h3.cells_to_boundaries(cells_arr, t,
+                                               distortion="sparse")
+        v = _classify_multi(b6, owner_arr, rb, dilate)
+        if len(didx):
+            d12 = (dilate[didx] if np.ndim(dilate) else dilate)
+            v[didx] = _classify_multi(b12, owner_arr[didx], rb, d12)
+        return v
 
-    # ---- seeds: every ring vertex + centroid, one forward call
+    def forward_cells(lat, lon, owner_arr) -> np.ndarray:
+        """latlng_to_cell at each owner's start resolution (grouped by
+        the few distinct start resolutions)."""
+        res_v = start_res[owner_arr]
+        cells_out = np.empty(len(lat), dtype=np.int64)
+        for r in np.unique(res_v):
+            m = res_v == r
+            cells_out[m] = np.atleast_1d(
+                h3.latlng_to_cell(lat[m], lon[m], int(r)))
+        return cells_out
+
+    # ---- seeds: every ring vertex + centroid
     seed_lat = np.concatenate([r[:, 1] for r in rings]
                               + [np.array([r[:-1, 1].mean()]) for r in rings])
     seed_lon = np.concatenate([r[:, 0] for r in rings]
@@ -267,7 +313,7 @@ def _cover_group(rings: list, min_res: int, max_res: int,
     seed_owner = np.concatenate(
         [np.full(len(r), i, dtype=np.int64) for i, r in enumerate(rings)]
         + [np.arange(nr, dtype=np.int64)])
-    seed_cells = np.atleast_1d(h3.latlng_to_cell(seed_lat, seed_lon, min_res))
+    seed_cells = forward_cells(seed_lat, seed_lon, seed_owner)
 
     seen = [set() for _ in range(nr)]
     fr_c: list = []
@@ -283,14 +329,16 @@ def _cover_group(rings: list, min_res: int, max_res: int,
 
     part_c = np.empty(0, dtype=np.int64)   # accumulated PARTIAL cells
     part_o = np.empty(0, dtype=np.int64)
-    dil = _CHILD_OVERHANG_DILATION if min_res < max_res else 0.0
     angs = np.arange(6) * (np.pi / 3.0)
     cos_a, sin_a = np.cos(angs), np.sin(angs)
 
-    # ---- BFS flood at min_res, all rings in lockstep
+    # ---- BFS flood at each ring's start resolution, all in lockstep
     while len(frontier):
-        v = classify_level(frontier, fowner, min_res, dil)
-        emit(frontier[v == FULL], fowner[v == FULL], min_res, True)
+        fres = start_res[fowner]
+        dil = np.where(fres < max_res, _CHILD_OVERHANG_DILATION, 0.0)
+        v = classify_level(frontier, fowner, dil)
+        full = v == FULL
+        emit(frontier[full], fowner[full], fres[full], True)
         keep = v == PARTIAL
         part_c = np.concatenate([part_c, frontier[keep]])
         part_o = np.concatenate([part_o, fowner[keep]])
@@ -306,9 +354,8 @@ def _cover_group(rings: list, min_res: int, max_res: int,
         py = (y[:, None] + sin_a[None, :]).ravel()
         plat, plon = h3._hex2d_to_geo_arrays(
             px, py, np.repeat(f, 6), np.repeat(res, 6))
-        nbs = np.atleast_1d(h3.latlng_to_cell(
-            np.degrees(plat), np.degrees(plon), min_res))
         nbo = np.repeat(eowner, 6)
+        nbs = forward_cells(np.degrees(plat), np.degrees(plon), nbo)
         # dedup (owner, cell) within the round, then against `seen`
         pairs = np.unique(np.stack([nbo, nbs], axis=1), axis=0)
         fr_c, fr_o = [], []
@@ -323,8 +370,9 @@ def _cover_group(rings: list, min_res: int, max_res: int,
             fr_o.append(o)
         frontier = np.asarray(fr_c, dtype=np.int64)
         fowner = np.asarray(fr_o, dtype=np.int64)
-        # per-ring cap: rings over budget stop flooding; their pending
-        # frontier becomes PARTIAL leaves (cover stays a superset)
+        # backstop: should be unreachable with the adaptive start res —
+        # rings that somehow exceed the budget mid-flood turn their
+        # pending frontier into PARTIAL leaves
         over = seen_count > max_cells
         if bool(over.any()) and len(frontier):
             capped = over[fowner]
@@ -333,7 +381,8 @@ def _cover_group(rings: list, min_res: int, max_res: int,
             frontier, fowner = frontier[~capped], fowner[~capped]
 
     # ---- refinement of PARTIAL cells, one batched level at a time
-    for res_l in range(min_res + 1, max_res + 1):
+    # (mixed resolutions: capped rings entered coarser than min_res)
+    for _ in range(max_res):
         if len(part_c) == 0:
             break
         pent = h3.is_pentagon_arrays(part_c, t)
@@ -341,22 +390,27 @@ def _cover_group(rings: list, min_res: int, max_res: int,
         children = h3.cells_to_children_next(part_c, t)
         owner_c = np.repeat(part_o, kid_counts)
         # per-ring cap: rings whose cover would overflow emit their
-        # parents as partial leaves at the previous res and stop
+        # parents as partial leaves at their own res and stop
         add = np.bincount(owner_c, minlength=nr)
         over = (n_out + add) > max_cells
         if bool(over.any()):
             capped = over[part_o]
-            emit(part_c[capped], part_o[capped], res_l - 1, False)
+            emit(part_c[capped], part_o[capped], _res_of(part_c[capped]), False)
             keep = ~over[owner_c]
             children, owner_c = children[keep], owner_c[keep]
             if len(children) == 0:
                 part_c = np.empty(0, dtype=np.int64)
                 part_o = np.empty(0, dtype=np.int64)
                 break
-        dil = _CHILD_OVERHANG_DILATION if res_l < max_res else 0.0
-        v = classify_level(children, owner_c, res_l, dil)
-        emit(children[v == FULL], owner_c[v == FULL], res_l, True)
-        keep = v == PARTIAL
+        child_res = _res_of(children)
+        dil = np.where(child_res < max_res, _CHILD_OVERHANG_DILATION, 0.0)
+        v = classify_level(children, owner_c, dil)
+        full = v == FULL
+        emit(children[full], owner_c[full], child_res[full], True)
+        part = v == PARTIAL
+        at_leaf = part & (child_res >= max_res)
+        emit(children[at_leaf], owner_c[at_leaf], child_res[at_leaf], False)
+        keep = part & (child_res < max_res)
         part_c, part_o = children[keep], owner_c[keep]
     emit(part_c, part_o, max_res, False)
 

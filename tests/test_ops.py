@@ -269,3 +269,46 @@ def test_s2_cover_antimeridian_superset():
                        dtype=np.int64).astype(np.uint64)
     for leaf in leafs:
         assert bool(((lo_r <= leaf) & (leaf <= hi_r)).any())
+
+
+def test_cover_batch_per_ring_caps():
+    """max_cells is per ring inside a batch group: a continent-sized
+    ring sharing a group with a tiny ring must cap (partial leaves at a
+    coarse res, cover stays a superset of sampled interior points)
+    without affecting the tiny ring's exact cover."""
+    import numpy as np
+
+    from openair_spark.index import h3
+    from openair_spark.ops.h3tiles import h3_cover, h3_cover_batch
+    from openair_spark.ops.s2tiles import s2_cover, s2_cover_batch
+
+    mega = np.array([[-10.0, 35.0], [25.0, 35.0], [25.0, 64.0],
+                     [-10.0, 64.0], [-10.0, 35.0]])
+    tiny = np.array([[10.0, 50.0], [10.2, 50.0], [10.2, 50.2],
+                     [10.0, 50.2], [10.0, 50.0]])
+    cap = 600
+    mega_c, tiny_c = h3_cover_batch([mega, tiny], 5, 9, max_cells=cap)
+    assert len(mega_c) <= cap + 16384  # capped (children of last level)
+    assert len(tiny_c) > 0
+    # tiny ring unaffected by its capped neighbor
+    alone = h3_cover(tiny, 5, 9, max_cells=cap)
+    assert set(map(tuple, alone.tolist())) == set(map(tuple, tiny_c.tolist()))
+    # mega cover superset at sampled interior points despite the cap
+    by_res: dict = {}
+    for cell, res, _ in mega_c:
+        by_res.setdefault(int(res), set()).add(int(cell))
+    rng = np.random.default_rng(8)
+    for lo, la in zip(rng.uniform(-9, 24, 150), rng.uniform(36, 63, 150)):
+        leaf = int(h3.latlng_to_cell(la, lo, max(by_res)))
+        assert any(h3.cell_to_parent(leaf, r) in cells
+                   for r, cells in by_res.items()), (lo, la)
+
+    mega_s, tiny_s = s2_cover_batch([mega, tiny], max_level=10, max_cells=cap)
+    alone_s = s2_cover(tiny, max_level=10, max_cells=cap)
+    assert sorted(tiny_s) == sorted(alone_s)
+    from openair_spark.index import s2 as s2i
+    cells_u = np.array([c for c, _, _ in mega_s], dtype=np.int64).astype(np.uint64)
+    lo_r, hi_r = s2i.range_min_max_arrays(cells_u)
+    for lo, la in zip(rng.uniform(-9, 24, 150), rng.uniform(36, 63, 150)):
+        leaf = np.uint64(np.int64(s2i.cell_id(la, lo, s2i.MAX_LEVEL)))
+        assert bool(((lo_r <= leaf) & (leaf <= hi_r)).any()), (lo, la)
