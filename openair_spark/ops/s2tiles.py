@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..index import s2
-from ..index.pip import RingSet
+from ..index.pip import RingSet, points_in_ring
 
 OUTSIDE, PARTIAL, FULL = 0, 1, 2
 # straight lon/lat chords understate the geodesic cell edges; 5% corner
@@ -55,6 +55,7 @@ class _S2RingBatch:
     leaf ids for the exact vertex-in-range test."""
 
     def __init__(self, rings: list):
+        self.rings = rings
         self.rs = RingSet({i: r for i, r in enumerate(rings)})
         rs = self.rs
         self.sxmin = np.minimum(rs.x1, rs.x2)
@@ -179,12 +180,24 @@ def _classify_level_multi(cells: np.ndarray, owner: np.ndarray, level: int,
         all_in = np.zeros(m, dtype=bool)
         any_in = np.zeros(m, dtype=bool)
         if len(rows):
-            c0 = rs.contains(hx1[rows, 0], hy1[rows, 0], o[rows])
+            # grouped per-owner 2D ray cast — ~2x the CSR RingSet path
+            # at cover batch sizes (no expansion-index build)
+            c0 = np.zeros(len(rows), dtype=bool)
+            orow = o[rows]
+            for ov in np.unique(orow):
+                mg = orow == ov
+                c0[mg] = points_in_ring(hx1[rows[mg], 0], hy1[rows[mg], 0],
+                                        rb.rings[ov])
             in_rows = rows[c0]
             if len(in_rows):
-                rest = rs.contains(
-                    hx1[in_rows, 1:].ravel(), hy1[in_rows, 1:].ravel(),
-                    np.repeat(o[in_rows], 3)).reshape(-1, 3)
+                oin = o[in_rows]
+                rest = np.zeros((len(in_rows), 3), dtype=bool)
+                for ov in np.unique(oin):
+                    mg = oin == ov
+                    rest[mg] = points_in_ring(
+                        hx1[in_rows[mg], 1:].ravel(),
+                        hy1[in_rows[mg], 1:].ravel(),
+                        rb.rings[ov]).reshape(-1, 3)
                 all_in[in_rows] = rest.all(axis=1)
                 any_in[in_rows] = True
         verdict[sel[sl]] = np.where(
