@@ -135,6 +135,31 @@ def stateful_block_assembler(lines_stream: DataFrame,
     )
 
 
+def stream_dedup_docs(docs_stream: DataFrame,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch exact-dedup op (queries/textops
+    `dedup_exact`): incremental document ingest keeps the FIRST arrival
+    of each text and drops later duplicates, with BOUNDED state —
+    `dropDuplicatesWithinWatermark` remembers a text hash only while a
+    duplicate could still arrive inside the watermark window.
+
+    At continuous-crawl scale this is the dedup-at-ingest stage: an
+    unbounded `dropDuplicates` would grow state with corpus size; the
+    watermarked variant caps it at (ingest rate x watermark). The two
+    paths compose: watermarked dedup on the live stream, exact
+    hash-groupBy dedup (plus MinHash-LSH near-dup) per materialized
+    snapshot.
+
+    docs_stream: streaming DataFrame with (ts timestamp, doc_id, text).
+    """
+    return (
+        docs_stream
+        .withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def windowed_event_stats(events_stream: DataFrame, window: str = "10 minutes",
                          slide: str | None = None,
                          watermark: str = "30 minutes") -> DataFrame:

@@ -166,3 +166,43 @@ def test_stateful_block_assembler_timeout_flush(spark, tmp_path):
     assert rows[0]["url"] == "u_incomplete"
     assert rows[0]["n_errors"] == 1 and rows[0]["n_features"] == 0
     assert rows[0]["n_lines"] == 1
+
+
+def test_stream_dedup_docs_bounded_state(spark, tmp_path):
+    """Incremental exact dedup: duplicates across micro-batches within
+    the watermark are dropped (first arrival wins); distinct texts all
+    pass. Two file drops force two micro-batches so the dedup state
+    must carry across batches."""
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dckpt")
+    from openair_spark.streaming.pipeline import stream_dedup_docs
+
+    batch1 = [("2025-01-01 10:00:00", 1, "alpha text"),
+              ("2025-01-01 10:00:10", 2, "beta text"),
+              ("2025-01-01 10:00:20", 3, "alpha text")]   # dup in-batch
+    batch2 = [("2025-01-01 10:05:00", 4, "alpha text"),   # dup cross-batch
+              ("2025-01-01 10:05:10", 5, "gamma text")]
+
+    def write(rows, part):
+        df = spark.createDataFrame(
+            rows, "ts_s string, doc_id long, text string").select(
+            F.to_timestamp("ts_s").alias("ts"), "doc_id", "text")
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write(batch1, 0)
+    write(batch2, 1)
+    stream = (spark.readStream
+              .schema("ts timestamp, doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = stream_dedup_docs(stream, watermark="1 hour")
+    q = (deduped.writeStream.outputMode("append")
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    # first arrival of the duplicated text wins
+    assert {r["doc_id"] for r in rows if r["text"] == "alpha text"} <= {1, 3}
