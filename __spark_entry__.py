@@ -366,9 +366,11 @@ def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = got[s["asset_id"]]
         assert (r["height"], r["width"]) == img.shape[:2], s["url"]
         assert abs(r["mean_luma"] - float(luma.mean())) < 1e-9, s["url"]
-    out = html_out.unionByName(png_out)
+    out = html_out.unionByName(png_out).cache()
+    out.count()  # materialize the small union, then release the lane caches
     html_assets.unpersist()
     png_assets.unpersist()
+    png_out.unpersist()
     return out
 
 
