@@ -51,18 +51,21 @@ FROM documents GROUP BY 1
 """
 
 
-# distinct word-3-gram shingles per document
+# distinct word-3-gram shingles per document.
+# Row-local array formulation (round 4): transform(sequence(...)) builds
+# every shingle inside whole-stage codegen and array_distinct dedups
+# per doc BEFORE the explode — the previous lead()-window formulation
+# shuffled every word of the corpus on doc_id and ran a global
+# distinct, two full exchanges that dominate at 100 TB. Same shingle
+# sets (per-doc distinct == global distinct on (doc_id, shingle)).
 def _spark_shingles(docs: DataFrame) -> DataFrame:
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        words
-        .withColumn("w1", F.lead("word", 1).over(w))
-        .withColumn("w2", F.lead("word", 2).over(w))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
-        .distinct()
+        docs
+        .withColumn("w", F.split("text", " "))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(
+            "array_distinct(transform(sequence(0, size(w) - 3), "
+            "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))")).alias("shingle"))
     )
 
 
@@ -340,19 +343,23 @@ def q_repetition_ratio(spark, sf_dir):
     earlier gram in the same document. Pure groupBy/agg — partial
     aggregation map-side, one narrow shuffle on doc_id."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # row-local gram construction (see _spark_shingles); counts stay
+    # per-row array ops — only the final per-doc agg touches a shuffle
     grams = (
-        words
-        .withColumn("w1", F.lead("word", 1).over(w))
-        .withColumn("w2", F.lead("word", 2).over(w))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("gram"))
+        docs
+        .withColumn("w", F.split("text", " "))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.expr(
+            "transform(sequence(0, size(w) - 3), "
+            "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))").alias("g"))
     )
-    per = grams.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        F.countDistinct("gram").alias("n_distinct"))
+    # doc_id is unique in the documents table, so the per-row array
+    # sizes ARE the per-doc aggregates — the whole query is one
+    # shuffle-free codegen stage
+    per = grams.select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("g")).cast("long").alias("n_distinct"))
     return per.select(
         "doc_id", "n_grams", "n_distinct",
         F.round(F.lit(1.0) - F.col("n_distinct").cast("double")
