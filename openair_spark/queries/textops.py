@@ -403,27 +403,23 @@ _SIMHASH_BITS = 16
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash fingerprint, fully row-local (round 4): word hashes,
+    per-bit integer votes, and the bit assembly all fold over arrays
+    inside whole-stage codegen — no words x bits explode, no two
+    aggregation shuffles. Votes are integers, so the fold order cannot
+    change the result vs the oracle's SUM."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
-    words = words.withColumn("h", _spark_hex60(F.md5("word")))
-    bits = words.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
-        "h",
-    ).withColumn(  # vote = +1 when bit b of h is set, else -1
-        "vote",
-        F.expr("CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END"),
-    )
-    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
-    return (
-        votes.withColumn(
-            "bitval",
-            F.expr("CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
-                   "ELSE CAST(0 AS BIGINT) END"))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    hashes = docs.select("doc_id", F.expr(
+        "transform(array_distinct(split(text, ' ')), word -> "
+        "CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT))").alias("hs"))
+    return hashes.select("doc_id", F.expr(
+        "aggregate(transform(sequence(0, %d), b -> "
+        "IF(aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc + "
+        "IF((shiftright(h, CAST(b AS INT)) & 1) = 1, CAST(1 AS BIGINT), "
+        "CAST(-1 AS BIGINT))) >= 0, "
+        "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        % (_SIMHASH_BITS - 1)).alias("simhash"))
 
 
 SQL_SIMHASH = f"""
@@ -585,23 +581,18 @@ def _spark_lsh_bits(spark, sf_dir):
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    comp = emb.select(
-        "vec_id",
-        F.posexplode("v").alias("d", "x"),
-    )
-    planes = comp.select(
-        "vec_id", "d", "x",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_PLANES - 1))).alias("j"),
-    ).withColumn(
-        "w",
-        F.when(_spark_hex60(F.md5(F.concat_ws("_", F.col("j").cast("string"),
-                                              F.col("d").cast("string")))) % 2 == 0, 1.0)
-        .otherwise(-1.0),
-    )
-    dots = (
-        planes.groupBy("vec_id", "j")
-        .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("dot"))
-    )
+    # row-local (round 4): each plane's dot folds over the embedding
+    # array dimension-by-dimension inside codegen — the previous plan
+    # exploded dims x planes and shuffled a groupBy sum; the sequential
+    # fold also matches the oracle's summation order exactly (the
+    # 6-dp round before the sign threshold stays as belt-and-braces)
+    dots = emb.select("vec_id", F.posexplode(F.expr(
+        "transform(sequence(0, %d), j -> round(aggregate("
+        "sequence(0, size(v) - 1), CAST(0.0 AS DOUBLE), (acc, d) -> acc + "
+        "v[d] * IF(CAST(conv(substring(md5(concat_ws('_', CAST(j AS STRING), "
+        "CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) %% 2 = 0, "
+        "CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE))), 6))" % (_N_PLANES - 1)
+        )).alias("j", "dot"))
     return dots.withColumn(
         "bit", F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(0)))
 
