@@ -169,3 +169,29 @@ def test_error_gating():
     with pytest.raises(ValueError):  # truncated IDAT stream
         decode_png(_build_png((4, 4, 8, 0, 0, 0, 0),
                               [(b"IDAT", zlib.compress(b"\x00" * 5))]))
+
+
+def test_hypothesis_roundtrip_random_shapes():
+    """Property: encode->decode is the identity for arbitrary shapes and
+    channel counts (uses hypothesis if available, else a seeded sweep)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(1, 40), st.integers(1, 40),
+               st.sampled_from([1, 3, 4]), st.integers(0, 2 ** 31 - 1))
+        def roundtrip(h, w, ch, seed):
+            img = np.random.default_rng(seed).integers(
+                0, 256, (h, w, ch), dtype=np.uint8)
+            got = decode_png(encode_png(img))
+            assert (got.reshape(img.shape) == img).all()
+
+        roundtrip()
+    except ImportError:  # pragma: no cover
+        for seed in range(40):
+            rng = np.random.default_rng(seed)
+            h, w = int(rng.integers(1, 41)), int(rng.integers(1, 41))
+            ch = int(rng.choice([1, 3, 4]))
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            assert (decode_png(encode_png(img)).reshape(img.shape) == img).all()

@@ -85,3 +85,45 @@ def test_blocked_topk_matches_brute_across_partitions(spark, tmp_path):
     brute = sorted(map(tuple, q_embedding_topk_cosine(
         spark, str(tmp_path)).collect()))
     assert blocked == brute and len(blocked) > 0
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: on random graphs the Spark CC must agree with an
+    independent driver-side union-find on every node's component
+    minimum."""
+    import numpy as np
+
+    from openair_spark.queries.textops import connected_components
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n = 120
+        m = int(rng.integers(30, 140))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        pairs_py = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in pairs_py:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        want = {i: find(i) for i in range(n)}
+        # canonicalize: representative = min node of component
+        comp: dict = {}
+        for i, r in want.items():
+            comp.setdefault(r, []).append(i)
+        expect = {i: min(members) for r, members in comp.items() for i in members}
+
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(pairs_py or [(0, 0)],
+                                      "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(docs, pairs).collect()}
+        assert got == expect, trial
