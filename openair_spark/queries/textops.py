@@ -149,33 +149,30 @@ _BAND_SIZE = 2  # -> 4 bands
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH banding, fully row-local until the band join: the
-    per-doc signature (min over shingles of md5(h|shingle) per hash h)
-    and the banded signatures build from the shingle ARRAY inside
-    whole-stage codegen — the previous formulation exploded
-    shingles x hashes and paid two aggregation shuffles (min + band
-    collect_list) over that blow-up. Only the 4-rows-per-doc band table
-    ever shuffles (the equi-join itself). Same signatures, same oracle
-    (lexicographic min over md5 hex == string min)."""
-    docs = load(spark, sf_dir, "documents")
-    sh_arr = (
-        docs.withColumn("w", F.split("text", " "))
-        .where(F.size("w") >= 3)
-        .select("doc_id", F.expr(
-            "array_distinct(transform(sequence(0, size(w) - 3), "
-            "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))").alias("sh"))
-    )
-    sig = sh_arr.select("doc_id", F.expr(
-        "transform(sequence(0, %d), h -> concat_ws(':', CAST(h AS STRING), "
-        "array_min(transform(sh, s -> md5(concat_ws('|', CAST(h AS STRING), s))))))"
-        % (_N_MINHASH - 1)).alias("hm"))
-    n_bands = _N_MINHASH // _BAND_SIZE
-    bands = sig.select(
+    """MinHash + LSH banding. Shingles build row-locally (shuffle-free,
+    see _spark_shingles); the md5 evaluation itself runs on EXPLODED
+    (shingle, h) rows — a fully array-local formulation was tried and
+    regressed ~3x because nested higher-order functions
+    (array_min(transform(...)) inside transform) drop out of
+    whole-stage codegen into interpreted evaluation, while the exploded
+    md5 stays codegen'd. The two aggregations shuffle only
+    (doc, h)-sized data (8 rows/doc after the first min). Signatures
+    and oracle unchanged."""
+    shingles = _spark_shingles(load(spark, sf_dir, "documents"))
+    hashed = shingles.select(
         "doc_id",
-        F.posexplode(F.expr(
-            "transform(sequence(0, %d), b -> concat_ws('|', "
-            "array_sort(slice(hm, b * %d + 1, %d))))"
-            % (n_bands - 1, _BAND_SIZE, _BAND_SIZE))).alias("band", "band_sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("h"),
+        "shingle",
+    ).select(
+        "doc_id", "h",
+        F.md5(F.concat_ws("|", F.col("h").cast("string"), "shingle")).alias("hval"),
+    )
+    sig = hashed.groupBy("doc_id", "h").agg(F.min("hval").alias("minhash"))
+    bands = (
+        sig.withColumn("band", (F.col("h") / _BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("h").cast("string"), "minhash")))).alias("band_sig"))
     )
     a = bands.alias("a")
     b = bands.alias("b")
