@@ -108,9 +108,43 @@ def parse_partition(batches: Iterator[pd.DataFrame], config_json: Optional[str] 
 def parse_features(pages: DataFrame, config_json: Optional[str] = None) -> DataFrame:
     """pages -> features DataFrame (zero-shuffle narrow plan)."""
     extracted = extract_openair(pages)
+    return parse_extracted(extracted, config_json)
+
+
+def parse_extracted(extracted: DataFrame,
+                    config_json: Optional[str] = None) -> DataFrame:
+    """(url, openair_text) -> features (the post-extraction half of
+    parse_features, shared by the raw-file source below)."""
     def kernel(batches):
         return parse_partition(batches, config_json)
     return extracted.select("url", "openair_text").mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def openair_files(spark, path: str) -> DataFrame:
+    """Directory/glob of raw OpenAIR (.txt/.openair) files ->
+    (url, openair_text) — the reference's OWN input shape
+    (`new Parser(config).parse(filepath)`, /root/reference/src/parser.ts:
+    one airspace file per call, whole file buffered). `wholetext` keeps
+    each file a single row (the reference buffers whole files too;
+    multi-MB files remain one task's work, matching its per-file
+    granularity), and the file path becomes the url/id_seed so error
+    messages and feature ids are per-file exactly like the reference."""
+    from pyspark.sql import functions as F2
+
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(F2.input_file_name().alias("url"),
+                F2.col("value").alias("openair_text"))
+    )
+
+
+def parse_openair_files(spark, path: str,
+                        config_json: Optional[str] = None) -> DataFrame:
+    """The reference's parse(filepath) at corpus scale: every file under
+    `path` parses in one zero-shuffle pass; a user of the reference
+    points this at the same directory of .openair files they feed the
+    Node parser today."""
+    return parse_extracted(openair_files(spark, path), config_json)
 
 
 def feature_collections(features: DataFrame) -> DataFrame:

@@ -166,3 +166,39 @@ def test_feature_collections(pages):
         parsed = json.loads(row["feature_collection_json"])
         assert parsed["type"] == "FeatureCollection"
         assert len(parsed["features"]) >= 1
+
+
+def test_parse_openair_files_source(spark, tmp_path):
+    """The reference's native input shape: a directory of raw .txt
+    OpenAIR files. Every file must parse to exactly the features the
+    core parser produces for that file's text (same id_seed = the file
+    URI input_file_name yields)."""
+    import shutil
+
+    from openair_spark.core.config import ParserConfig
+    from openair_spark.core.parser import parse_text
+    from openair_spark.spark.pipeline import parse_openair_files
+
+    src = tmp_path / "air"
+    src.mkdir()
+    names = ["polygon.txt", "circular.txt", "arc-cw.txt", "airway.txt"]
+    for n in names:
+        shutil.copy(f"/root/reference/tests/fixtures/{n}", src / n)
+    feats = parse_openair_files(spark, str(src),
+                                config_json='{"version": "1.0"}').collect()
+    by_url: dict = {}
+    for r in feats:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url) == len(names)
+    cfg = ParserConfig.default("1.0")
+    for url, rows in by_url.items():
+        path = url.replace("file://", "").replace("file:", "")
+        with open(path) as fh:
+            text = fh.read()
+        res = parse_text(text, cfg, id_seed=url)
+        assert res.success, (url, res.error_message)
+        assert len(rows) == len(res.geojson["features"])
+        got = sorted((r["airspace_idx"], r["name"], r["class"]) for r in rows)
+        want = sorted((i, f["properties"]["name"], f["properties"]["class"])
+                      for i, f in enumerate(res.geojson["features"]))
+        assert got == want, url
