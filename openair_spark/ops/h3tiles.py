@@ -37,7 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..index import h3
-from ..index.pip import RingSet, points_in_ring
+from ._cover_common import RingBatch as _RingBatch
+from ._cover_common import corner_split, expand_pairs, proper_crossings
 
 OUTSIDE, PARTIAL, FULL = 0, 1, 2
 
@@ -50,32 +51,6 @@ OUTSIDE, PARTIAL, FULL = 0, 1, 2
 # territory touches" — which is what the compact-set semantics
 # (cover membership = ancestor of the point's max_res cell) require.
 _CHILD_OVERHANG_DILATION = 0.15
-
-# chunk the cell axis of the pair-expansion kernels to bound memory
-_CLASSIFY_CHUNK = 65536
-
-
-class _RingBatch:
-    """CSR geometry of a batch of closed rings: concatenated edges
-    (reusing RingSet's layout), per-segment bboxes, per-ring bbox and
-    center longitude."""
-
-    def __init__(self, rings: list):
-        self.rings = rings
-        self.rs = RingSet({i: r for i, r in enumerate(rings)})
-        rs = self.rs
-        self.sxmin = np.minimum(rs.x1, rs.x2)
-        self.sxmax = np.maximum(rs.x1, rs.x2)
-        self.symin = np.minimum(rs.y1, rs.y2)
-        self.symax = np.maximum(rs.y1, rs.y2)
-        self.bbox = np.stack([  # (R, 4): w, s, e, n
-            np.array([r[:, 0].min() for r in rings]),
-            np.array([r[:, 1].min() for r in rings]),
-            np.array([r[:, 0].max() for r in rings]),
-            np.array([r[:, 1].max() for r in rings]),
-        ], axis=1) if rings else np.empty((0, 4))
-        self.cx = (self.bbox[:, 0] + self.bbox[:, 2]) / 2.0
-
 
 def _classify_multi(bnds: np.ndarray, owner: np.ndarray, rb: _RingBatch,
                     dilate: float = 0.0) -> np.ndarray:
@@ -110,12 +85,10 @@ def _classify_multi(bnds: np.ndarray, owner: np.ndarray, rb: _RingBatch,
     idx = np.nonzero(near)[0]
     nv = b.shape[1]
     rs = rb.rs
+    chunk = rb.chunk_size()
 
-    def orient(px, py, qx, qy, rx, ry):
-        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
-
-    for s in range(0, len(idx), _CLASSIFY_CHUNK):
-        sel = idx[s:s + _CLASSIFY_CHUNK]
+    for s in range(0, len(idx), chunk):
+        sel = idx[s:s + chunk]
         hb = b[sel]                                      # (m, V, 2)
         m = len(hb)
         o = owner[sel]
@@ -125,11 +98,7 @@ def _classify_multi(bnds: np.ndarray, owner: np.ndarray, rb: _RingBatch,
         cxmin, cxmax = hx1.min(axis=1), hx1.max(axis=1)
         cymin, cymax = hy1.min(axis=1), hy1.max(axis=1)
         # CSR expansion: every (cell, own-ring segment) pair
-        lens = rs.lens[o]
-        crow = np.repeat(np.arange(m), lens)
-        cum = np.cumsum(lens)
-        within = np.arange(int(cum[-1]) if m else 0) - np.repeat(cum - lens, lens)
-        seg = np.repeat(rs.starts[o], lens) + within
+        crow, seg = expand_pairs(o, rs)
         # vertex-in-cell first (ring vertices = segment start points):
         # even-odd crossing number of the vertex vs the cell polygon
         vx, vy = rs.x1[seg], rs.y1[seg]
@@ -148,51 +117,10 @@ def _classify_multi(bnds: np.ndarray, owner: np.ndarray, rb: _RingBatch,
         # proper edge crossings on bbox-overlapping pairs
         skeep = ((cxmin[crow] <= rb.sxmax[seg]) & (cxmax[crow] >= rb.sxmin[seg])
                  & (cymin[crow] <= rb.symax[seg]) & (cymax[crow] >= rb.symin[seg]))
-        pc, ps = crow[skeep], seg[skeep]
-        crossing = np.zeros(m, dtype=bool)
-        if len(pc):
-            ax1, ay1 = hx1[pc], hy1[pc]                  # (P, V)
-            ax2, ay2 = hx2[pc], hy2[pc]
-            bx1, by1 = rs.x1[ps][:, None], rs.y1[ps][:, None]
-            bx2, by2 = rs.x2[ps][:, None], rs.y2[ps][:, None]
-            d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
-            d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
-            d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
-            d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
-            hit = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=1)
-            crossing[pc[hit]] = True
+        crossing = proper_crossings(hx1, hy1, hx2, hy2,
+                                    crow[skeep], seg[skeep], rs, m)
         partial = crossing | vert_in
-        # cell corners inside the own ring? Only for cells not already
-        # PARTIAL. A non-partial cell has no edge crossing and no ring
-        # vertex inside, so its corners are all-in or all-out: ONE
-        # corner decides OUTSIDE (a mixed-corner cell without a detected
-        # crossing would need a ring vertex exactly on a cell edge —
-        # measure zero for float data); corner-0-inside cells still
-        # verify FULL against the remaining corners (conservative side).
-        rows = np.nonzero(~partial)[0]
-        all_in = np.zeros(m, dtype=bool)
-        any_in = np.zeros(m, dtype=bool)
-        if len(rows):
-            # grouped per-owner 2D ray cast — ~2x the CSR RingSet path
-            # at cover batch sizes (no expansion-index build)
-            c0 = np.zeros(len(rows), dtype=bool)
-            orow = o[rows]
-            for ov in np.unique(orow):
-                mg = orow == ov
-                c0[mg] = points_in_ring(hx1[rows[mg], 0], hy1[rows[mg], 0],
-                                        rb.rings[ov])
-            in_rows = rows[c0]
-            if len(in_rows):
-                oin = o[in_rows]
-                rest = np.zeros((len(in_rows), nv - 1), dtype=bool)
-                for ov in np.unique(oin):
-                    mg = oin == ov
-                    rest[mg] = points_in_ring(
-                        hx1[in_rows[mg], 1:].ravel(),
-                        hy1[in_rows[mg], 1:].ravel(),
-                        rb.rings[ov]).reshape(-1, nv - 1)
-                all_in[in_rows] = rest.all(axis=1)
-                any_in[in_rows] = True
+        all_in, any_in = corner_split(hx1, hy1, partial, o, rb.rings, nv)
         v = np.where(partial, PARTIAL,
                      np.where(all_in, FULL,
                               np.where(any_in, PARTIAL, OUTSIDE)))
@@ -372,15 +300,30 @@ def _cover_group(rings: list, min_res: int, max_res: int,
         # dedup (owner, cell) within the round, then against `seen`
         pairs = np.unique(np.stack([nbo, nbs], axis=1), axis=0)
         fr_c, fr_o = [], []
+        cap_c, cap_o = [], []
         for o, c in pairs:
             o = int(o)
             c = int(c)
-            if seen_count[o] > max_cells or c in seen[o]:
+            if c in seen[o]:
                 continue
             seen[o].add(c)
+            if seen_count[o] > max_cells:
+                # over-budget ring (backstop — the adaptive start res
+                # should prevent this): the discovered neighbor still
+                # becomes a PARTIAL leaf instead of being dropped, so
+                # its territory stays covered; the refinement cap then
+                # flushes it at its own res
+                cap_c.append(c)
+                cap_o.append(o)
+                continue
             seen_count[o] += 1
             fr_c.append(c)
             fr_o.append(o)
+        if cap_c:
+            part_c = np.concatenate(
+                [part_c, np.asarray(cap_c, dtype=np.int64)])
+            part_o = np.concatenate(
+                [part_o, np.asarray(cap_o, dtype=np.int64)])
         frontier = np.asarray(fr_c, dtype=np.int64)
         fowner = np.asarray(fr_o, dtype=np.int64)
         # backstop: should be unreachable with the adaptive start res —

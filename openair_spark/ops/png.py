@@ -44,7 +44,7 @@ def _chunks(data: bytes):
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
             raise ValueError("truncated PNG chunk")
         crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
         if crc != zlib.crc32(ctype + body) & 0xFFFFFFFF:
@@ -137,6 +137,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("palette index out of range")
         rgb = palette[idx]
         if trns is not None:
+            if len(trns) > len(palette):
+                raise ValueError("tRNS longer than PLTE")
             alpha = np.full(len(palette), 255, dtype=np.uint8)
             alpha[: len(trns)] = trns
             return np.dstack([rgb, alpha[idx]])

@@ -34,41 +34,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..index import s2
-from ..index.pip import RingSet, points_in_ring
+from ._cover_common import RingBatch, corner_split, expand_pairs, proper_crossings
 
 OUTSIDE, PARTIAL, FULL = 0, 1, 2
 # straight lon/lat chords understate the geodesic cell edges; 5% corner
 # dilation keeps FULL/OUTSIDE verdicts conservative at level >= 3
 _CURVATURE_DILATION = 0.05
 
-# chunk the cell axis of the pair-expansion kernel to bound memory
-_CLASSIFY_CHUNK = 65536
-
 # rings per kernel group — same cache-vs-amortization tradeoff as the
 # H3 cover (see ops/h3tiles._RING_GROUP)
 _RING_GROUP = 8
 
 
-class _S2RingBatch:
-    """Per-group geometry: CSR ring edges + segment bboxes (RingSet
-    layout), per-ring bbox/center-lon, and each ring's sorted level-30
-    leaf ids for the exact vertex-in-range test."""
+class _S2RingBatch(RingBatch):
+    """Shared RingBatch geometry plus each ring's sorted level-30 leaf
+    ids for the exact vertex-in-range test."""
 
     def __init__(self, rings: list):
-        self.rings = rings
-        self.rs = RingSet({i: r for i, r in enumerate(rings)})
-        rs = self.rs
-        self.sxmin = np.minimum(rs.x1, rs.x2)
-        self.sxmax = np.maximum(rs.x1, rs.x2)
-        self.symin = np.minimum(rs.y1, rs.y2)
-        self.symax = np.maximum(rs.y1, rs.y2)
-        self.bbox = np.stack([
-            np.array([r[:, 0].min() for r in rings]),
-            np.array([r[:, 1].min() for r in rings]),
-            np.array([r[:, 0].max() for r in rings]),
-            np.array([r[:, 1].max() for r in rings]),
-        ], axis=1)
-        self.cx = (self.bbox[:, 0] + self.bbox[:, 2]) / 2.0
+        super().__init__(rings)
         # unsigned leaf ids: range containment must compare in unsigned
         # id space (faces 4-5 set the sign bit of the int64 form)
         self.leaf_sorted = [
@@ -137,12 +120,10 @@ def _classify_level_multi(cells: np.ndarray, owner: np.ndarray, level: int,
     if len(sel) == 0:
         return verdict
     ball = b[alive]
+    chunk = rb.chunk_size()
 
-    def orient(px, py, qx, qy, rx, ry):
-        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
-
-    for s0 in range(0, len(sel), _CLASSIFY_CHUNK):
-        sl = slice(s0, min(s0 + _CLASSIFY_CHUNK, len(sel)))
+    for s0 in range(0, len(sel), chunk):
+        sl = slice(s0, min(s0 + chunk, len(sel)))
         hb = ball[sl]
         m = len(hb)
         o = owner[sel[sl]]
@@ -152,54 +133,13 @@ def _classify_level_multi(cells: np.ndarray, owner: np.ndarray, level: int,
         cxmin, cxmax = hx1.min(axis=1), hx1.max(axis=1)
         cymin, cymax = hy1.min(axis=1), hy1.max(axis=1)
         # CSR expansion to (cell, own-ring segment) pairs, bbox-pruned
-        lens = rs.lens[o]
-        crow = np.repeat(np.arange(m), lens)
-        cum = np.cumsum(lens)
-        within = np.arange(int(cum[-1])) - np.repeat(cum - lens, lens)
-        seg = np.repeat(rs.starts[o], lens) + within
+        crow, seg = expand_pairs(o, rs)
         keep = ((cxmin[crow] <= rb.sxmax[seg]) & (cxmax[crow] >= rb.sxmin[seg])
                 & (cymin[crow] <= rb.symax[seg]) & (cymax[crow] >= rb.symin[seg]))
-        pc, ps = crow[keep], seg[keep]
-        crossing = np.zeros(m, dtype=bool)
-        if len(pc):
-            ax1, ay1 = hx1[pc], hy1[pc]                  # (P, 4)
-            ax2, ay2 = hx2[pc], hy2[pc]
-            bx1, by1 = rs.x1[ps][:, None], rs.y1[ps][:, None]
-            bx2, by2 = rs.x2[ps][:, None], rs.y2[ps][:, None]
-            d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
-            d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
-            d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
-            d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
-            hit = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=1)
-            crossing[pc[hit]] = True
+        crossing = proper_crossings(hx1, hy1, hx2, hy2,
+                                    crow[keep], seg[keep], rs, m)
         partial = crossing | vertex_in[sel[sl]]
-        # corner-in-ring only for cells not already PARTIAL; one corner
-        # decides OUTSIDE (no crossing + no vertex inside => all corners
-        # on one side), the rest verify FULL (conservative side)
-        rows = np.nonzero(~partial)[0]
-        all_in = np.zeros(m, dtype=bool)
-        any_in = np.zeros(m, dtype=bool)
-        if len(rows):
-            # grouped per-owner 2D ray cast — ~2x the CSR RingSet path
-            # at cover batch sizes (no expansion-index build)
-            c0 = np.zeros(len(rows), dtype=bool)
-            orow = o[rows]
-            for ov in np.unique(orow):
-                mg = orow == ov
-                c0[mg] = points_in_ring(hx1[rows[mg], 0], hy1[rows[mg], 0],
-                                        rb.rings[ov])
-            in_rows = rows[c0]
-            if len(in_rows):
-                oin = o[in_rows]
-                rest = np.zeros((len(in_rows), 3), dtype=bool)
-                for ov in np.unique(oin):
-                    mg = oin == ov
-                    rest[mg] = points_in_ring(
-                        hx1[in_rows[mg], 1:].ravel(),
-                        hy1[in_rows[mg], 1:].ravel(),
-                        rb.rings[ov]).reshape(-1, 3)
-                all_in[in_rows] = rest.all(axis=1)
-                any_in[in_rows] = True
+        all_in, any_in = corner_split(hx1, hy1, partial, o, rb.rings, 4)
         verdict[sel[sl]] = np.where(
             partial, PARTIAL,
             np.where(all_in, FULL, np.where(any_in, PARTIAL, OUTSIDE))

@@ -521,7 +521,11 @@ def q_embedding_topk_blocked(spark, sf_dir):
             for d in range(V.shape[1]):
                 b_nrm += V[:, d] * V[:, d]
                 S += Am[:, d][:, None] * V[:, d][None, :]
-            sim = np.round(S / (An[:, None] * np.sqrt(b_nrm)[None, :]), 6)
+            raw = S / (An[:, None] * np.sqrt(b_nrm)[None, :])
+            # HALF_UP (away from zero), matching Spark's round() and the
+            # DuckDB oracle — np.round is half-to-even and could flip a
+            # value sitting exactly on a 6-dp half boundary
+            sim = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
             sim[ids_a[:, None] == ids_b[None, :]] = -np.inf  # self pairs
             k = min(_TOPK, nb)
             order = np.argsort(-sim, axis=1, kind="stable")[:, :k]

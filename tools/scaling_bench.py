@@ -152,9 +152,22 @@ def main() -> None:
               "efficiency_vs_hw_ceiling": normalized}
     print(json.dumps(result))
     if append:
+        # SMT framing only applies when the wide level saturates the
+        # box's 32 SMT-paired vCPUs; a generic appended point keeps the
+        # artifact honest for any (n_low, pin) combination
+        stress = n_high >= 32
+        title = "SMT stress test" if stress else "additional measurement"
+        tail = (
+            "This point stress-tests the ceiling-normalization story at "
+            "the hostile end of the box rather than evidencing the north "
+            "rule (the pinned 2->8 headline section does that): the raw "
+            "number is bounded by the hardware, the normalized number "
+            "shows the engine tracks the ceiling." if stress else
+            "Recorded alongside the headline pair for completeness; see "
+            "the headline section for the north-rule evidence.")
         sec = f"""
 
-## Additional pinned point: {n_low}->{n_high} (SMT stress test)
+## Additional pinned point: {n_low}->{n_high} ({title})
 
 Same job, same input, {'taskset-pinned' if pin else 'unpinned'} to
 exactly N / 4N host cores; best of {repeats} warm runs.
@@ -165,13 +178,8 @@ exactly N / 4N host cores; best of {repeats} warm runs.
 | local[{n_high}] (4N) | {rhi['seconds']} | {rhi['blocks']} | {rhi['pip_rows']} | {rhi['rows_per_sec']} |
 
 Raw efficiency **{efficiency}** against a same-run pure-CPU hardware
-ceiling of **{hw['ceiling']}** (this VM's 32 vCPUs are SMT-saturated —
-no job can scale {n_low}->{n_high} above that); ceiling-normalized
-**{normalized}**. This point stress-tests the ceiling-normalization
-story at the hostile end of the box rather than evidencing the north
-rule (the 2->8 pinned pair above does that): the raw number is bounded
-by the hardware, the normalized number shows the engine tracks the
-ceiling.
+ceiling of **{hw['ceiling']}** measured between the same worker
+counts; ceiling-normalized **{normalized}**. {tail}
 """
         with open("BENCH_SCALING.md", "a") as fh:
             fh.write(sec)
