@@ -158,7 +158,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     md5 stays codegen'd. The two aggregations shuffle only
     (doc, h)-sized data (8 rows/doc after the first min). Signatures
     and oracle unchanged."""
-    shingles = _spark_shingles(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
+    # the documents table is a few small parquet files -> 1-2 scan
+    # partitions; spread the md5-heavy shingle hashing across the
+    # cluster before the fold (values unaffected)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    shingles = _spark_shingles(docs)
     hashed = shingles.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("h"),
@@ -173,6 +178,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         .groupBy("doc_id", "band")
         .agg(F.concat_ws("|", F.array_sort(F.collect_list(
             F.concat_ws(":", F.col("h").cast("string"), "minhash")))).alias("band_sig"))
+        # both sides of the self-join would re-execute the whole
+        # shingle+md5 lineage (Catalyst does not dedup join branches);
+        # the band table is tiny (bands-per-doc rows), so materialize it
+        # once — GC-scoped, no lingering persist
+        .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -582,6 +592,9 @@ def _spark_lsh_bits(spark, sf_dir):
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # small single-file table -> 1 scan partition; spread the
+    # interpreted per-plane folds across the cluster
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     # row-local (round 4): each plane's dot folds over the embedding
     # array dimension-by-dimension inside codegen — the previous plan
     # exploded dims x planes and shuffled a groupBy sum; the sequential
@@ -653,6 +666,9 @@ def q_ann_bucket_join(spark, sf_dir):
             f"shiftleft(CAST(bit AS BIGINT), CAST(j % {_LSH_BAND_PLANES} AS INT))"))
         .groupBy("vec_id", "band")
         .agg(F.sum("bitval").alias("bkey"))
+        # materialize once: the self-join would otherwise evaluate the
+        # per-plane dot folds twice (GC-scoped, tiny table)
+        .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
     b = bands.alias("b")
