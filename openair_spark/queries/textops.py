@@ -461,7 +461,10 @@ def q_embedding_topk_cosine(spark, sf_dir):
     norm = F.sqrt(F.aggregate(
         F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     emb = emb.withColumn("nrm", norm)
-    a = emb.where(F.col("vec_id") < _N_ANCHORS).select(
+    # single-file scan -> 1 partition; the broadcast join parallelizes
+    # over the stream (anchor) side, so spread it
+    a = emb.where(F.col("vec_id") < _N_ANCHORS).repartition(
+        spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
@@ -877,7 +880,10 @@ def q_embedding_cosine_neardup(spark, sf_dir):
     norm = F.sqrt(F.aggregate(
         F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     emb = emb.withColumn("nrm", norm)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    # single-file scan -> 1 partition; the broadcast nested-loop join
+    # parallelizes over the STREAM side, so spread it (values unchanged)
+    a = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -981,6 +987,8 @@ def q_ann_ivf_assign(spark, sf_dir):
     l2 = F.sqrt(F.aggregate(
         F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x))
+    # single-file scan -> 1 partition; spread the zip_with folds
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     cand = emb.crossJoin(F.broadcast(cents)).withColumn("l2", l2)
     w = Window.partitionBy("vec_id").orderBy(F.col("l2").asc(), F.col("centroid_id").asc())
     return (
@@ -1031,6 +1039,8 @@ def q_ann_ivf_search(spark, sf_dir):
     l2 = F.sqrt(F.aggregate(
         F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x))
+    # single-file scan -> 1 partition; spread the zip_with folds
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     dist = emb.crossJoin(F.broadcast(cents)).withColumn("l2", l2)
     w = Window.partitionBy("vec_id").orderBy(F.col("l2").asc(), F.col("centroid_id").asc())
     ranked = dist.withColumn("rk", F.row_number().over(w))
