@@ -937,9 +937,13 @@ def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
     dims = assign0.select("centroid_id", F.posexplode("v").alias("pos", "val"))
     means = dims.groupBy("centroid_id", "pos").agg(
         F.round(F.avg("val"), 4).alias("cv"))
-    return means.groupBy("centroid_id").agg(
+    out = means.groupBy("centroid_id").agg(
         F.transform(F.array_sort(F.collect_list(F.struct("pos", "cv"))),
                     lambda s: s["cv"]).alias("c"))
+    # K tiny rows consumed by several plan branches (assign, probe,
+    # recall teeth) — materialize once so every branch doesn't re-run
+    # the Lloyd iteration (GC-scoped, no lingering persist)
+    return out.localCheckpoint(eager=True)
 
 
 # DuckDB mirror of _ivf_trained_centroids; the final centroid is built
