@@ -404,19 +404,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the round-4 driver recorded exactly 50 of
+    # the 51 registered queries and silently dropped the LAST one
+    # (checkpoint_manifest — it runs fine standalone; r3's 48-query set
+    # recorded it). The no-oracle teeth queries therefore go most-
+    # important-first, with spark_native_blocks last: its window-FSM
+    # equivalence is already oracle-covered by `block_segmentation`, so
+    # it is the cheapest row to lose if the driver truncates again.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.spark_fn for name, qd in build_catalog().items()
     }
+    out["checkpoint_manifest"] = _checkpoint_manifest_q
     out["parse_features_corpus"] = _parse_features_q
+    out["parse_pip_join"] = _parse_pip_q
     out["parse_tile_cover"] = _parse_tile_cover_q
     out["parse_h3_cover"] = _parse_h3_cover_q
     out["parse_s2_cover"] = _parse_s2_cover_q
-    out["parse_pip_join"] = _parse_pip_q
     out["feature_collections"] = _feature_collections_q
     out["openair_roundtrip"] = _openair_roundtrip_q
     out["multimodal_decode"] = _multimodal_decode_q
     out["spark_native_blocks"] = _spark_native_blocks_q
-    out["checkpoint_manifest"] = _checkpoint_manifest_q
     return out
 
 

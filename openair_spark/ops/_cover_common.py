@@ -90,35 +90,28 @@ def proper_crossings(hx1, hy1, hx2, hy2, crow, seg, rs: RingSet,
 
 def corner_split(hx1, hy1, partial: np.ndarray, owner: np.ndarray,
                  rings: list, nv: int):
-    """(all_in, any_in) for cells not already PARTIAL. A non-partial
-    cell has no edge crossing and no ring vertex inside, so its corners
-    are all-in or all-out: ONE corner decides OUTSIDE (a mixed-corner
-    cell without a detected crossing would need a ring vertex exactly
-    on a cell edge — measure zero for float data); corner-0-inside
-    cells still verify FULL against the remaining corners
-    (conservative side). Grouped per-owner 2D ray casts — ~2x the CSR
-    RingSet path at cover batch sizes."""
+    """(all_in, any_in) for cells not already PARTIAL, from ALL nv
+    corners (any_in => PARTIAL unless all_in => FULL). Testing every
+    corner keeps the cover's conservative direction: a mixed-corner
+    cell with no detected proper crossing (possible only when a ring
+    vertex sits exactly on a cell edge — measure zero for float data,
+    but ADVICE r4 asked for the safe side) classifies PARTIAL rather
+    than OUTSIDE. Cost parity with the old corner-0-then-rest scheme:
+    one grouped per-owner ray cast over nv corners instead of two
+    kernel rounds (the ~9 ms/call fixed numpy overhead dominates at
+    cover batch sizes, so fewer calls ~ offsets the extra points)."""
     m = len(partial)
     rows = np.nonzero(~partial)[0]
     all_in = np.zeros(m, dtype=bool)
     any_in = np.zeros(m, dtype=bool)
     if len(rows):
-        c0 = np.zeros(len(rows), dtype=bool)
         orow = owner[rows]
+        corners = np.zeros((len(rows), nv), dtype=bool)
         for ov in np.unique(orow):
             mg = orow == ov
-            c0[mg] = points_in_ring(hx1[rows[mg], 0], hy1[rows[mg], 0],
-                                    rings[ov])
-        in_rows = rows[c0]
-        if len(in_rows):
-            oin = owner[in_rows]
-            rest = np.zeros((len(in_rows), nv - 1), dtype=bool)
-            for ov in np.unique(oin):
-                mg = oin == ov
-                rest[mg] = points_in_ring(
-                    hx1[in_rows[mg], 1:].ravel(),
-                    hy1[in_rows[mg], 1:].ravel(),
-                    rings[ov]).reshape(-1, nv - 1)
-            all_in[in_rows] = rest.all(axis=1)
-            any_in[in_rows] = True
+            corners[mg] = points_in_ring(
+                hx1[rows[mg]].ravel(), hy1[rows[mg]].ravel(),
+                rings[ov]).reshape(-1, nv)
+        all_in[rows] = corners.all(axis=1)
+        any_in[rows] = corners.any(axis=1)
     return all_in, any_in

@@ -154,11 +154,19 @@ def knn_join(points: DataFrame, centroids: DataFrame, k: int = 3,
     # ranked feeds BOTH the safety aggregate and the safe-hit anti-join;
     # without materialization the candidate join + window execute twice
     # (the round-2 bench regression). An eager localCheckpoint instead
-    # of persist(): same single-traversal guarantee and MEMORY_AND_DISK
-    # storage, but the blocks are released by the ContextCleaner when
-    # the returned frame is dropped — repeated knn_join calls in one
-    # session no longer accumulate session-lifetime cached partitions
-    # (ADVICE r3). Bounded: <= k rows per point.
+    # of persist(): single traversal and MEMORY_AND_DISK storage, with
+    # blocks released by the ContextCleaner when the returned frame is
+    # dropped — repeated knn_join calls in one session no longer
+    # accumulate session-lifetime cached partitions (ADVICE r3).
+    # Bounded: <= k rows per point.
+    # Fault-tolerance tradeoff (ADVICE r4): localCheckpoint TRUNCATES
+    # lineage, so on a multi-executor cluster a lost executor makes
+    # these blocks unrecoverable (persist would recompute them from
+    # lineage), and it is unsafe under dynamic allocation (decommission
+    # drops blocks). On clusters that need either guarantee, set
+    # spark.checkpoint.dir and use reliable .checkpoint() here; the
+    # GC-scoped local variant is the right default for the single-JVM
+    # bench/driver environment this repo targets.
     ranked = ranked.localCheckpoint(eager=True)
 
     # ---- exactness margin: geodesic distance from the point to the

@@ -33,6 +33,8 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# allocation guard for hostile IHDR dimensions (64 MP ~ 256 MB RGBA)
+_MAX_PIXELS = 64_000_000
 
 
 def is_png(data: bytes) -> bool:
@@ -85,8 +87,18 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.extend(body)
     if width is None:
         raise ValueError("missing IHDR")
+    # dimension sanity BEFORE the height*(stride+1) allocation: a hostile
+    # IHDR must not drive a multi-GB numpy alloc or a zero-size reshape
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"image {width}x{height} exceeds decoder cap of {_MAX_PIXELS} pixels")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # keep the module's ValueError contract
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT length mismatch")

@@ -95,10 +95,15 @@ _MAX_SHINGLE_DF = 100
 def q_dedup_ngram_jaccard(spark, sf_dir):
     raw = _spark_shingles(load(spark, sf_dir, "documents"))
     df_per_shingle = raw.groupBy("shingle").agg(F.count("*").alias("df"))
+    # materialize once for the three consumers (sizes + both self-join
+    # sides) — GC-scoped localCheckpoint instead of cache(): a persist
+    # here was never unpersisted, leaking a cached DF into the session
+    # per invocation (same class of leak fixed in ops/knn.py, which
+    # also documents the localCheckpoint fault-tolerance tradeoff).
     shingles = (
         raw.join(df_per_shingle.where(F.col("df") <= _MAX_SHINGLE_DF), "shingle")
         .select("doc_id", "shingle")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")

@@ -169,6 +169,16 @@ def test_error_gating():
     with pytest.raises(ValueError):  # truncated IDAT stream
         decode_png(_build_png((4, 4, 8, 0, 0, 0, 0),
                               [(b"IDAT", zlib.compress(b"\x00" * 5))]))
+    with pytest.raises(ValueError):  # garbage (non-zlib) IDAT -> ValueError,
+        # not a leaking zlib.error (module error contract, ADVICE r4)
+        decode_png(_build_png((4, 4, 8, 0, 0, 0, 0),
+                              [(b"IDAT", b"\xff\xfe not zlib")]))
+    with pytest.raises(ValueError):  # hostile IHDR dims: no multi-GB alloc
+        decode_png(_build_png((1 << 24, 1 << 24, 8, 0, 0, 0, 0),
+                              [(b"IDAT", zlib.compress(b""))]))
+    with pytest.raises(ValueError):  # zero-size dims
+        decode_png(_build_png((0, 4, 8, 0, 0, 0, 0),
+                              [(b"IDAT", zlib.compress(b""))]))
 
 
 def test_hypothesis_roundtrip_random_shapes():

@@ -127,3 +127,35 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         got = {r["doc_id"]: r["cluster_id"]
                for r in connected_components(docs, pairs).collect()}
         assert got == expect, trial
+
+
+def test_materialized_intermediates_release_after_gc(spark):
+    """The GC-scoped localCheckpoint pattern (knn, jaccard, minhash)
+    must not accumulate storage across invocations: once the returned
+    frame is dropped, the ContextCleaner frees the blocks within a few
+    GC cycles (measured: the weak-ref path needs several JVM GCs, not
+    one). Guards the round-4 cache-leak class."""
+    import gc
+    import time
+
+    from openair_spark.queries.textops import q_dedup_ngram_jaccard
+
+    sc = spark.sparkContext
+
+    def storage_bytes():
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+
+    for _ in range(2):
+        out = q_dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
+        out.count()
+        del out
+    gc.collect()
+    drained = False
+    for _ in range(20):
+        sc._jvm.System.gc()
+        if storage_bytes() == 0:
+            drained = True
+            break
+        time.sleep(0.5)
+    assert drained, f"{storage_bytes()} bytes still cached after GC drain"

@@ -4,9 +4,10 @@ same job at local[N] vs local[4N] on the same input).
 
 Methodology notes (all measured, none assumed):
   - This VM's 32 vCPUs are SMT-saturated: a pure-CPU multiprocessing
-    microbenchmark tops out at ~0.73 efficiency for 8->32 workers, so
-    8->32 cannot evidence >=0.8 for ANY job. The N->4N pair is run at
-    2->8, where the measured hardware ceiling is ~0.82-0.9. The
+    microbenchmark tops out at ~0.67-0.73 efficiency for 8->32 workers
+    (re-measured per run; BENCH_SCALING.md records 0.668 for the r4
+    pinned point), so 8->32 cannot evidence >=0.8 for ANY job. The
+    N->4N pair is run at 2->8, where the measured ceiling is ~0.82-0.9. The
     hardware ceiling is re-measured inline and reported next to the
     Spark number, plus the ceiling-normalized efficiency.
   - Fresh subprocess per level (clean JVM), warm-run timing (full
@@ -32,6 +33,8 @@ import os
 import subprocess
 import sys
 import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import json, os, sys, time
@@ -115,7 +118,7 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
 
 def run_level(cpus: int, n_pages: int, n_points: int, repeats: int,
               pin: bool = False) -> dict:
-    code = WORKER % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+    code = WORKER % {"repo": _REPO_ROOT}
     cmd = [sys.executable, "-c", code,
            str(cpus), str(n_pages), str(n_points), str(repeats)]
     if pin:
@@ -181,7 +184,7 @@ Raw efficiency **{efficiency}** against a same-run pure-CPU hardware
 ceiling of **{hw['ceiling']}** measured between the same worker
 counts; ceiling-normalized **{normalized}**. {tail}
 """
-        with open("BENCH_SCALING.md", "a") as fh:
+        with open(os.path.join(_REPO_ROOT, "BENCH_SCALING.md"), "a") as fh:
             fh.write(sec)
         return
     md = f"""# BENCH_SCALING — N vs 4N throughput scaling
@@ -212,7 +215,7 @@ Input: {n_pages} synthetic CC-style pages (deterministic corpus, seed
 identical across levels (same plan, same input), so efficiency is a
 pure wall-clock ratio.
 """
-    with open("BENCH_SCALING.md", "w") as fh:
+    with open(os.path.join(_REPO_ROOT, "BENCH_SCALING.md"), "w") as fh:
         fh.write(md)
 
 
