@@ -131,30 +131,66 @@ def polygon_cell_index(polygons: DataFrame, min_res: int = MIN_RES,
     return polygons.select("polygon_id", "ring").mapInPandas(kernel, CELL_INDEX_SCHEMA)
 
 
+# routing decision of the most recent pip_join call ("broadcast" |
+# "shuffle") — introspection hook for tests and ops debugging
+LAST_ROUTE: str | None = None
+
+# Broadcast cap for the polygon side, in total ring edges. Each edge
+# costs ~32 B in the RingSet broadcast (4 float64) plus cover-index
+# rows; 4M edges ~ 128 MB broadcast — roughly Spark's own 8G-executor
+# comfort zone for autoBroadcastJoinThreshold-style decisions. Beyond
+# it, pip_join auto-routes to the salted shuffle variant instead of
+# OOMing the driver on collect_ring_set (the round-4 100x-scale seam).
+DEFAULT_MAX_BROADCAST_EDGES = 4_000_000
+
+
 def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "lon",
-             min_res: int = MIN_RES, max_res: int = MAX_RES) -> DataFrame:
-    """Broadcast PIP join: returns points columns + polygon_id for every
+             min_res: int = MIN_RES, max_res: int = MAX_RES,
+             max_broadcast_edges: int = DEFAULT_MAX_BROADCAST_EDGES) -> DataFrame:
+    """PIP join: returns points columns + polygon_id for every
     (point, polygon) containment pair.
 
     polygons: either a DataFrame(polygon_id string, ring array<array<double>>)
-    — the scale path, cover computed executor-side — or a driver-side
-    list [{'polygon_id', 'ring'}] for small sets."""
+    or a driver-side list [{'polygon_id', 'ring'}] for small sets.
+
+    Routing: a DataFrame polygon side is sized first (one cheap edge-sum
+    aggregate that also fills the persist). At or under
+    `max_broadcast_edges` total edges the broadcast plan runs (cover
+    computed executor-side, rings travel once as a broadcast variable,
+    NO shuffle); above it the salted shuffle plan (`pip_join_shuffle`)
+    runs instead — the polygon side never materializes on the driver.
+    Both produce identical (point, polygon_id) hit sets."""
+    global LAST_ROUTE
     spark = points.sparkSession
     resolutions = list(range(min_res, max_res + 1))
 
     # Materialize the polygon side ONCE. The upstream plan may be an
     # expensive Arrow parse (pages -> features); without a persist, the
-    # ring-set collect and the cover collect would each re-execute it.
+    # sizing aggregate, ring-set collect, and cover collect would each
+    # re-execute it.
     polys_persisted = None
     if isinstance(polygons, DataFrame):
         polys_persisted = polygons.select("polygon_id", "ring").persist()
-        ring_set = collect_ring_set(polys_persisted)  # first action fills the persist
+        n_edges = polys_persisted.agg(
+            F.sum(F.size("ring") - 1).alias("e")).collect()[0]["e"] or 0
+        if n_edges > max_broadcast_edges:
+            LAST_ROUTE = "shuffle"
+            cells = polygon_cells_at_res(polys_persisted, res=7)
+            # polygon_cells feeds two actions (auto_salt + the join);
+            # GC-scoped materialization, then release the input persist
+            cells = cells.localCheckpoint(eager=True)
+            polys_persisted.unpersist()
+            hits = pip_join_shuffle(points, cells, lat_col=lat_col,
+                                    lon_col=lon_col, res=7)
+            return hits.drop("cell")
+        ring_set = collect_ring_set(polys_persisted)  # action fills the persist
         index_pdf = polygon_cell_index(polys_persisted, min_res, max_res).toPandas()
         polys_persisted.unpersist()
     else:
         ring_set = RingSet({p["polygon_id"]: np.asarray(p["ring"], dtype=np.float64)
                             for p in polygons})
         index_pdf = build_cell_index(polygons, min_res, max_res)
+    LAST_ROUTE = "broadcast"
 
     # rings travel ONCE as a broadcast variable (unpickled once per
     # python worker, reused across tasks) — candidate rows carry only
@@ -230,6 +266,29 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
 
     hits = candidates.mapInPandas(exact_kernel, schema)
     return hits.join(F.broadcast(dim), "polygon_idx").drop("polygon_idx")
+
+
+def polygon_cells_at_res(polygons: DataFrame, res: int = 7) -> DataFrame:
+    """Executor-parallel shuffle-join input: polygons(polygon_id, ring)
+    -> (cell, polygon_id, ring_json) with one row per covering cell at
+    the fixed resolution (compact_cover pinned to min=max=res yields
+    every intersecting cell). The ring travels as JSON so the shuffle
+    variant can evaluate the exact test without any driver-side or
+    broadcast ring materialization."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
+                arr = np.asarray([list(p) for p in ring], dtype=np.float64)
+                rj = json.dumps(arr.tolist())
+                for cell, _is_full in compact_cover(arr, min_res=res, max_res=res):
+                    rows.append({"cell": int(cell), "polygon_id": pid,
+                                 "ring_json": rj})
+            yield pd.DataFrame(rows, columns=["cell", "polygon_id", "ring_json"])
+
+    return polygons.select("polygon_id", "ring").mapInPandas(
+        kernel, "cell long, polygon_id string, ring_json string")
 
 
 def auto_salt(polygon_cells: DataFrame, cap: int = 32) -> int:

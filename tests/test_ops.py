@@ -81,6 +81,35 @@ def test_pip_join_shuffle_matches_broadcast(points, spark):
     assert got == expected
 
 
+def test_pip_join_auto_routes_to_shuffle(points, spark):
+    """The unified pip_join API (round-4 verdict seam): an over-
+    threshold polygon side must route to the salted shuffle plan — no
+    driver-side ring materialization — and produce the identical hit
+    set the broadcast plan produces on the same data."""
+    from openair_spark.ops import pip as pip_mod
+
+    polys_df = spark.createDataFrame(
+        [(p["polygon_id"], p["ring"]) for p in POLYGONS],
+        "polygon_id string, ring array<array<double>>")
+
+    broadcast_hits = {
+        (r["point_id"], r["polygon_id"])
+        for r in pip_join(points, polys_df).select("point_id", "polygon_id").collect()
+    }
+    assert pip_mod.LAST_ROUTE == "broadcast"
+
+    # 3 polygons x 4 edges = 12 edges; cap of 1 forces the shuffle route
+    routed = pip_join(points, polys_df, max_broadcast_edges=1)
+    assert pip_mod.LAST_ROUTE == "shuffle"
+    shuffle_hits = {
+        (r["point_id"], r["polygon_id"])
+        for r in routed.select("point_id", "polygon_id").collect()
+    }
+    assert shuffle_hits == broadcast_hits and len(shuffle_hits) > 0
+    # unified output columns regardless of route
+    assert set(routed.columns) == {"point_id", "lat", "lon", "polygon_id"}
+
+
 def test_knn_cell_local_matches_bruteforce(points, spark):
     rng = np.random.default_rng(5)
     cents = [(f"c{i}", float(rng.uniform(45, 55)), float(rng.uniform(6, 17)))
