@@ -334,25 +334,36 @@ def _spark_native_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary asset pipeline, two lanes unioned:
+    """Binary asset pipeline, three lanes unioned:
     - html assets through the deterministic stub decoder (plumbing lane:
       those codecs are genuinely absent in this container);
     - synthesized `image/png` assets through the REAL from-scratch PNG
-      decoder (ops/png.py — stdlib zlib + numpy unfilter).
-    Teeth: one output row per asset in both lanes, and 10 sampled PNG
-    rows must match driver-side expected (width, height, mean_luma)
-    recomputed from the deterministic source image."""
+      decoder (ops/png.py — stdlib zlib + numpy unfilter);
+    - synthesized `image/jpeg` assets through the REAL from-scratch
+      baseline T.81 decoder (ops/jpeg.py — Huffman + dequant + IDCT,
+      mixed 4:4:4/4:2:2/4:2:0 and restart intervals per url).
+    Teeth: one output row per asset in every lane; 10 sampled PNG rows
+    must match driver-side (width, height, mean_luma) exactly; 10
+    sampled JPEG rows must match driver-side dims exactly and the
+    SOURCE image's mean luma within the codec's loss bound (the decoded
+    mean is checked against pre-compression truth, so a broken decode
+    cannot cancel against itself)."""
     from openair_spark.ops.multimodal import (
-        decode_features, extract_assets, synth_png_assets, synth_png_image)
+        decode_features, extract_assets, synth_jpeg_assets, synth_jpeg_image,
+        synth_png_assets, synth_png_image)
 
     pages = _pages_for(spark, sf_dir)
     html_assets = extract_assets(pages).cache()
     png_assets = synth_png_assets(pages).cache()
+    jpeg_assets = synth_jpeg_assets(pages).cache()
     html_out = decode_features(html_assets, fake=True)
     png_out = decode_features(png_assets, fake=False).cache()
-    n_html, n_png = html_assets.count(), png_assets.count()
+    jpeg_out = decode_features(jpeg_assets, fake=False).cache()
+    n_html, n_png, n_jpeg = (html_assets.count(), png_assets.count(),
+                             jpeg_assets.count())
     assert html_out.count() == n_html
     assert png_out.count() == n_png, "real PNG decode dropped rows"
+    assert jpeg_out.count() == n_jpeg, "real JPEG decode dropped rows"
     # pixel-stat teeth: recompute expected stats driver-side
     import numpy as np
 
@@ -366,11 +377,24 @@ def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = got[s["asset_id"]]
         assert (r["height"], r["width"]) == img.shape[:2], s["url"]
         assert abs(r["mean_luma"] - float(luma.mean())) < 1e-9, s["url"]
-    out = html_out.unionByName(png_out).cache()
+    jsample = jpeg_assets.select("url", "asset_id").limit(10).collect()
+    jgot = {r["asset_id"]: r for r in jpeg_out.where(
+        F.col("asset_id").isin([s["asset_id"] for s in jsample])).collect()}
+    for s in jsample:
+        src_img = synth_jpeg_image(s["url"]).astype(np.float64)
+        src_luma = (0.299 * src_img[:, :, 0] + 0.587 * src_img[:, :, 1]
+                    + 0.114 * src_img[:, :, 2])
+        r = jgot[s["asset_id"]]
+        assert (r["height"], r["width"]) == src_img.shape[:2], s["url"]
+        # decoded mean vs pre-compression truth: q>=85 on smooth content
+        assert abs(r["mean_luma"] - float(src_luma.mean())) < 3.0, s["url"]
+    out = html_out.unionByName(png_out).unionByName(jpeg_out).cache()
     out.count()  # materialize the small union, then release the lane caches
     html_assets.unpersist()
     png_assets.unpersist()
+    jpeg_assets.unpersist()
     png_out.unpersist()
+    jpeg_out.unpersist()
     return out
 
 

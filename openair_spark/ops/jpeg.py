@@ -1,0 +1,634 @@
+"""From-scratch baseline-sequential JPEG (JFIF) codec — stdlib + numpy.
+
+Closes the last honest multimodal gap (round-4 verdict ask #4): a
+training pipeline's image mix is mostly JPEG, and this container has no
+image library, so the lane is built from the public ITU-T T.81 spec the
+same way ops/png.py was built from RFC 2083:
+
+  decode_jpeg : markers -> Huffman entropy decode -> dequant ->
+                vectorized 8x8 IDCT (one einsum per component) ->
+                chroma upsample (box replication) -> YCbCr->RGB
+  encode_jpeg : pad-to-MCU -> RGB->YCbCr -> optional 4:2:0 chroma
+                average -> vectorized FDCT -> quantize -> zigzag ->
+                DC-diff/AC-runlength Huffman encode (byte stuffing,
+                optional restart markers)
+
+Scope (exactly ITU-T T.81 "baseline sequential DCT"): 8-bit samples,
+Huffman coding, 1 component (grayscale) or 3 (YCbCr per JFIF 1.02),
+sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restarts.
+Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+raise NotImplementedError; corrupt input raises ValueError (same error
+contract as ops/png.py).
+
+Tables: quantization bases and Huffman BITS/HUFFVAL below are the
+ITU-T T.81 Annex K "typical" tables (public spec constants, reproduced
+verbatim — they ARE the interchange format's de-facto defaults).
+Quality scaling uses the widely published 5000/q | 200-2q mapping.
+Chroma upsampling is box replication (a decoder is free to choose its
+interpolation; bit-exactness is only defined for the entropy layer).
+
+Offline verification note (FIXTURES.md discipline): with no external
+JPEG files in the container, encoder<->decoder round-trips share these
+tables, so a table typo would cancel out. The entropy layer is instead
+pinned by hand-built bitstream fixtures in tests/test_jpeg.py (a
+known coefficient block Huffman-encoded by hand against the Annex K
+code lengths) plus DC-only images that must reconstruct exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# ITU-T T.81 Annex K.1 — luminance/chrominance quantization bases
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# zigzag k -> raster index (T.81 Figure 5)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+_MAX_PIXELS = 64_000_000  # same hostile-header allocation guard as ops/png.py
+
+# 8x8 DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (np.sqrt(0.125) if _u == 0 else 0.5) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16)
+
+
+def _fdct(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> (n, 8, 8) coefficients, vectorized."""
+    return np.einsum("ux,nxy,vy->nuv", _C, blocks, _C, optimize=True)
+
+
+def _idct(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) coefficients -> (n, 8, 8) spatial, vectorized
+    (f[x,y] = sum_uv C[u,x] F[u,v] C[v,y], the exact inverse of _fdct)."""
+    return np.einsum("ux,nuv,vy->nxy", _C, coefs, _C, optimize=True)
+
+
+def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """Quality 1-100 -> scaled table (the published libjpeg mapping)."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    tbl = (base.astype(np.int64) * scale + 50) // 100
+    return np.clip(tbl, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------- Huffman machinery
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C code generation: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for MSB-first bitwise decode."""
+    return {(length, code): sym
+            for sym, (code, length) in _build_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:       # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first reader over an already-destuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy segment exhausted mid-symbol")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huffman(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category, appended bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _extend(v: int, s: int) -> int:
+    """appended bits -> signed value (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ------------------------------------------------------------- encoder
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB -> float64 YCbCr per JFIF 1.02 (full range)."""
+    m = img.astype(np.float64)
+    r, g, b = m[..., 0], m[..., 1], m[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 -> (n, 8, 8) raster-ordered."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    return (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * bw, 8, 8))
+
+
+def _encode_plane_coefs(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """float plane (multiple-of-8 dims) -> (n, 64) zigzagged quantized
+    int32 coefficient rows, raster block order."""
+    blocks = _plane_blocks(plane - 128.0)
+    coefs = _fdct(blocks).reshape(len(blocks), 64)
+    q = np.round(coefs / qtbl.astype(np.float64)).astype(np.int32)
+    return q[:, ZIGZAG]
+
+
+def _marker(tag: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, tag, len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "4:4:4", restart_interval: int = 0) -> bytes:
+    """uint8 image (h, w) | (h, w, 1) grayscale or (h, w, 3) RGB ->
+    baseline JFIF bytes. subsampling: '4:4:4' | '4:2:2' | '4:2:0'
+    (3-component only). restart_interval > 0 emits DRI + RSTn markers
+    every that-many MCUs (exercises the decoder's restart path)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError("expected uint8 (h, w[, 1|3]) image")
+    h, w, nch = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    if nch == 1:
+        samp = [(1, 1)]
+    else:
+        samp = {"4:4:4": [(1, 1), (1, 1), (1, 1)],
+                "4:2:2": [(2, 1), (1, 1), (1, 1)],
+                "4:2:0": [(2, 2), (1, 1), (1, 1)]}.get(subsampling)
+        if samp is None:
+            raise ValueError(f"unknown subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    # pad with edge replication to the MCU grid, then derive planes
+    pad = np.pad(img, ((0, mcus_y * mcu_h - h), (0, mcus_x * mcu_w - w), (0, 0)),
+                 mode="edge")
+    if nch == 1:
+        planes = [pad[:, :, 0].astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(pad)
+        planes = [ycc[..., 0]]
+        for ci in (1, 2):
+            p = ycc[..., ci]
+            fh, fv = hmax // samp[ci][0], vmax // samp[ci][1]
+            if fh > 1 or fv > 1:   # box average, T.81 leaves the filter open
+                p = p.reshape(p.shape[0] // fv, fv, p.shape[1] // fh, fh).mean(axis=(1, 3))
+            planes.append(p)
+
+    qluma = scaled_quant(QUANT_LUMA, quality)
+    qchroma = scaled_quant(QUANT_CHROMA, quality)
+    qtbls = [qluma] + ([qchroma] if nch == 3 else [])
+    comp_q = [0] + [1, 1][: nch - 1]
+
+    coefs = [_encode_plane_coefs(planes[i], qtbls[comp_q[i]]) for i in range(nch)]
+
+    enc_dc = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+              _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+              _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    comp_t = comp_q  # luma tables for comp 0, chroma for the rest
+
+    writer = _BitWriter()
+    pred = [0] * nch
+    blocks_x = [mcus_x * s[0] for s in samp]
+    n_rst = 0
+    out_chunks: list[bytes] = []
+
+    def emit_block(ci: int, bi: int) -> None:
+        row = coefs[ci][bi]
+        dctab, actab = enc_dc[comp_t[ci]], enc_ac[comp_t[ci]]
+        diff = int(row[0]) - pred[ci]
+        pred[ci] = int(row[0])
+        s, extra = _magnitude(diff)
+        code, ln = dctab[s]
+        writer.put(code, ln)
+        writer.put(extra, s)
+        run = 0
+        nz = np.nonzero(row[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = actab[0xF0]   # ZRL
+                writer.put(code, ln)
+                run -= 16
+            s, extra = _magnitude(v)
+            code, ln = actab[(run << 4) | s]
+            writer.put(code, ln)
+            writer.put(extra, s)
+            run = 0
+        if last < 63:
+            code, ln = actab[0x00]       # EOB
+            writer.put(code, ln)
+
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                writer.flush()
+                out_chunks.append(bytes(writer.out))
+                out_chunks.append(bytes([0xFF, 0xD0 + (n_rst % 8)]))
+                n_rst += 1
+                writer = _BitWriter()
+                pred = [0] * nch
+            for ci in range(nch):
+                ch_, cv = samp[ci]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        emit_block(ci, (my * cv + by) * blocks_x[ci] + mx * ch_ + bx)
+            mcu_idx += 1
+    writer.flush()
+    out_chunks.append(bytes(writer.out))
+    entropy = b"".join(out_chunks)
+
+    out = bytearray(b"\xFF\xD8")                              # SOI
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, tbl in enumerate(qtbls):
+        out += _marker(0xDB, bytes([tid]) + bytes(int(v) for v in tbl[ZIGZAG]))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nch))
+    for ci in range(nch):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
+    out += _marker(0xC0, bytes(sof))                          # SOF0 baseline
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if nch == 3:
+        huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                  (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals in huffs:
+        out += _marker(0xC4, bytes([tc] + bits + vals))
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([nch])
+    for ci in range(nch):
+        sos += bytes([ci + 1, (comp_t[ci] << 4) | comp_t[ci]])
+    sos += b"\x00\x3F\x00"                                    # Ss/Se/AhAl
+    out += _marker(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xFF\xD9"                                        # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoder
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) >= 3 and data[:3] == b"\xFF\xD8\xFF"
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JFIF bytes -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        tag = data[pos + 1]
+        if tag == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated marker segment")
+        if tag == 0xDB:                                     # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                if len(zz) != 64:
+                    raise ValueError("short DQT")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = zz
+                qtables[tq] = tbl
+                i += 65
+        elif tag == 0xC4:                                   # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("short DHT")
+                htables[(tc, th)] = _build_decoder(bits, vals)
+                i += 17 + n
+        elif tag == 0xC0 or tag == 0xC1:                    # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            if fh == 0 or fw == 0:
+                raise ValueError("zero frame dimension")
+            if fh * fw > _MAX_PIXELS:
+                raise ValueError(
+                    f"image {fw}x{fh} exceeds decoder cap of {_MAX_PIXELS} pixels")
+            comps = []
+            for ci in range(nc):
+                cid, sf, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq})
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component frames")
+            for c in comps:
+                if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+                    raise NotImplementedError(
+                        f"sampling factor {c['h']}x{c['v']}")
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential DCT supported")
+        elif tag == 0xDD:                                   # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif tag == 0xDA:                                   # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scomps = []
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci:3 + 2 * ci]
+                scomps.append({"id": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            scan = (scomps, pos + 2 + seglen)
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    scomps, entropy_start = scan
+
+    # split the entropy stream into restart segments, destuffing FF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = entropy_start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or any other marker terminates the scan
+            break
+    segments.append(bytes(cur))
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for sc in scomps:
+        c = by_id.get(sc["id"])
+        if c is None:
+            raise ValueError(f"scan references unknown component {sc['id']}")
+        dc = htables.get((0, sc["td"]))
+        ac = htables.get((1, sc["ta"]))
+        q = qtables.get(c["tq"])
+        if dc is None or ac is None or q is None:
+            raise ValueError("scan references missing Huffman/quant table")
+        order.append((c, dc, ac, q))
+
+    # decode all MCUs into per-component (nblocks, 64) zigzag rows
+    blocks_x = [mcus_x * c["h"] for c, *_ in order]
+    coef_rows = [np.zeros((mcus_y * c["v"] * blocks_x[k], 64), dtype=np.int32)
+                 for k, (c, *_rest) in enumerate(order)]
+
+    total_mcus = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else total_mcus
+    mcu = 0
+    for seg in segments:
+        if mcu >= total_mcus:
+            break
+        reader = _BitReader(seg)
+        pred = [0] * len(order)
+        seg_end = min(total_mcus, mcu + per_seg)
+        while mcu < seg_end:
+            my, mx = divmod(mcu, mcus_x)
+            for k, (c, dctab, actab, _q) in enumerate(order):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = np.zeros(64, dtype=np.int32)
+                        s = reader.huffman(dctab)
+                        if s > 11:
+                            raise ValueError("invalid DC category")
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        pred[k] += diff
+                        row[0] = pred[k]
+                        kk = 1
+                        while kk < 64:
+                            rs = reader.huffman(actab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:      # ZRL
+                                    kk += 16
+                                    continue
+                                break            # EOB
+                            kk += r
+                            if kk > 63:
+                                raise ValueError("AC run past block end")
+                            row[kk] = _extend(reader.bits(s), s)
+                            kk += 1
+                        bi = (my * c["v"] + by) * blocks_x[k] + mx * c["h"] + bx
+                        coef_rows[k][bi] = row
+            mcu += 1
+    if mcu < total_mcus:
+        raise ValueError(f"entropy data ended after {mcu}/{total_mcus} MCUs")
+
+    # dequant + vectorized IDCT + reassemble per component
+    planes = []
+    for k, (c, _dc, _ac, q) in enumerate(order):
+        rows = coef_rows[k]
+        deq = np.zeros_like(rows)
+        deq[:, ZIGZAG] = rows * q[ZIGZAG]
+        spatial = _idct(deq.reshape(-1, 8, 8).astype(np.float64)) + 128.0
+        bh, bw = mcus_y * c["v"], blocks_x[k]
+        plane = (spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
+        # upsample to full-res grid by box replication, crop to frame
+        fv, fh_ = vmax // c["v"], hmax // c["h"]
+        if fv > 1 or fh_ > 1:
+            plane = np.repeat(np.repeat(plane, fv, axis=0), fh_, axis=1)
+        planes.append(plane[:frame["h"], :frame["w"]])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -4,20 +4,23 @@ Images/audio/video are opaque `binary` columns with a typed metadata
 struct; everything Spark-side — schema, column pruning, partitioning,
 Arrow batch shapes, UDF signatures — is real and tested.
 
-Decode is REAL for PNG payloads: `ops/png.py` is a from-scratch
-stdlib-zlib + numpy PNG decoder (chunk walk, inflate, per-scanline
-unfilter), so `decode_features(assets, fake=False)` produces true pixel
-statistics for `image/png` assets — no image library needed. Other
-media types (JPEG, audio, video) stay codec-gated behind
-NotImplementedError (the container genuinely lacks those codecs);
-`fake=True` keeps the deterministic hash-stub decoder for them so the
-plumbing is testable end-to-end. Swap `_decode_one`'s gated branch for
-PIL/ffmpeg on a real cluster; nothing else changes.
+Decode is REAL for PNG and JPEG payloads: `ops/png.py` is a
+from-scratch stdlib-zlib + numpy PNG decoder (chunk walk, inflate,
+per-scanline unfilter) and `ops/jpeg.py` a from-scratch baseline
+ITU-T T.81 codec (Huffman entropy decode, dequant, vectorized IDCT,
+chroma upsample), so `decode_features(assets, fake=False)` produces
+true pixel statistics for `image/png` and `image/jpeg` assets — no
+image library needed. Remaining media types (WebP, audio, video) stay
+codec-gated behind NotImplementedError (the container genuinely lacks
+those codecs); `fake=True` keeps the deterministic hash-stub decoder
+for them so the plumbing is testable end-to-end. Swap `_decode_one`'s
+gated branch for PIL/ffmpeg on a real cluster; nothing else changes.
 
 Asset sources in this repo: the pages table's `html` binary column
-(one `text/html` asset per page) and `synth_png_assets` (one real,
-deterministically synthesized `image/png` asset per page, encoded with
-ops/png.encode_png).
+(one `text/html` asset per page), `synth_png_assets` (one real
+`image/png` asset per page, encoded with ops/png.encode_png), and
+`synth_jpeg_assets` (one real `image/jpeg` asset per page, encoded
+with ops/jpeg.encode_jpeg at per-url quality/subsampling/restart).
 """
 
 from __future__ import annotations
@@ -106,24 +109,90 @@ def synth_png_assets(pages: DataFrame) -> DataFrame:
     return src.mapInPandas(kernel, ASSETS_SCHEMA)
 
 
+def synth_jpeg_image(url: str) -> np.ndarray:
+    """Deterministic smooth (h, w, 3) uint8 RGB image for a url —
+    low-frequency sinusoids (JPEG-friendly content) with size, phase,
+    and frequency all drawn from sha256(url)."""
+    digest = hashlib.sha256(url.encode("utf-8")).digest()
+    h = 12 + digest[0] % 13
+    w = 12 + digest[1] % 13
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx, fy = 3 + digest[2] % 5, 3 + digest[3] % 5
+    r = 128 + 90 * np.sin(xx / fx + digest[4] / 40.0)
+    g = 128 + 90 * np.cos(yy / fy + digest[5] / 40.0)
+    b = 128 + 90 * np.sin((xx + yy) / (fx + fy) + digest[6] / 40.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def jpeg_params_for(url: str) -> tuple[int, str, int]:
+    """(quality, subsampling, restart_interval) for a url — varies
+    deterministically so the asset corpus exercises every decoder path
+    (4:4:4 / 4:2:2 / 4:2:0, with and without RSTn restarts)."""
+    digest = hashlib.sha256(url.encode("utf-8")).digest()
+    quality = 85 + digest[7] % 11
+    subsampling = ("4:4:4", "4:2:2", "4:2:0")[digest[8] % 3]
+    restart = (0, 0, 2)[digest[9] % 3]
+    return quality, subsampling, restart
+
+
+def synth_jpeg_assets(pages: DataFrame) -> DataFrame:
+    """pages -> one REAL `image/jpeg` asset row per page, encoded with
+    the from-scratch ops/jpeg baseline encoder (mixed subsampling and
+    restart intervals per url). Arrow mapInPandas, same shape as
+    synth_png_assets."""
+    from . import jpeg
+
+    src = pages.select("url")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                quality, subsampling, restart = jpeg_params_for(url)
+                payload = jpeg.encode_jpeg(
+                    synth_jpeg_image(url), quality=quality,
+                    subsampling=subsampling, restart_interval=restart)
+                out.append({
+                    "asset_id": hashlib.sha256(payload).hexdigest()[:16],
+                    "url": url,
+                    "kind": "jpeg",
+                    "payload": payload,
+                    "meta": {
+                        "content_type": "image/jpeg",
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                    },
+                })
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "url", "kind", "payload", "meta"])
+
+    return src.mapInPandas(kernel, ASSETS_SCHEMA)
+
+
 def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     """payload -> (h, w, float64 luma tile).
 
-    PNG payloads decode for REAL (ops/png.py, pure stdlib+numpy): gray
-    passes through, color reduces to Rec.601 luma
-    (0.299 R + 0.587 G + 0.114 B). Non-PNG payloads: fake=True derives
-    a deterministic tile from the payload hash (plumbing stays testable
+    PNG and JPEG payloads decode for REAL (ops/png.py: stdlib zlib +
+    numpy unfilter; ops/jpeg.py: from-scratch baseline T.81 — Huffman,
+    dequant, vectorized IDCT, chroma upsample): gray passes through,
+    color reduces to Rec.601 luma (0.299 R + 0.587 G + 0.114 B).
+    Remaining media types (WebP, audio, video): fake=True derives a
+    deterministic tile from the payload hash (plumbing stays testable
     end-to-end); fake=False raises — those codecs are genuinely absent
     in this container.
     """
-    from . import png
+    from . import jpeg, png
 
+    img = None
     if png.is_png(payload):
         img = png.decode_png(payload).astype(np.float64)
+    elif jpeg.is_jpeg(payload):
+        decoded = jpeg.decode_jpeg(payload)
+        img = (decoded[:, :, None] if decoded.ndim == 2 else decoded
+               ).astype(np.float64)
+    if img is not None:
         h, w, ch = img.shape
-        if ch == 1:
-            luma = img[:, :, 0]
-        elif ch == 2:  # gray + alpha
+        if ch in (1, 2):  # gray / gray+alpha
             luma = img[:, :, 0]
         else:
             luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
@@ -131,8 +200,9 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         return h, w, luma
     if not fake:
         raise NotImplementedError(
-            "non-PNG media decode requires a codec (PIL/ffmpeg) not present "
-            "in this environment; pass fake=True for the deterministic stub")
+            "non-PNG/JPEG media decode requires a codec (PIL/ffmpeg) not "
+            "present in this environment; pass fake=True for the "
+            "deterministic stub")
     digest = hashlib.sha256(payload).digest()
     h = 8 + digest[0] % 8
     w = 8 + digest[1] % 8

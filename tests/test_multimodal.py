@@ -67,6 +67,42 @@ def test_png_assets_real_decode(spark):
     assets.unpersist()
 
 
+def test_jpeg_assets_real_decode(spark):
+    """synth_jpeg_assets emits real baseline JFIFs (mixed subsampling +
+    restart intervals); decode_features(fake=False) must decode every
+    one with exact dims and mean luma near the PRE-compression source
+    (independent truth — a decoder bug cannot cancel against the
+    encoder on this stat)."""
+    import numpy as np
+
+    from openair_spark.ops.multimodal import (
+        jpeg_params_for,
+        synth_jpeg_assets,
+        synth_jpeg_image,
+    )
+
+    assets = synth_jpeg_assets(pages_df(spark, 18, "mm-jpeg")).cache()
+    rows = assets.select("url", "asset_id", "meta", "payload").collect()
+    assert len(rows) == 18
+    subs_seen = set()
+    for r in rows:
+        assert r["meta"]["content_type"] == "image/jpeg"
+        assert bytes(r["payload"])[:3] == b"\xFF\xD8\xFF"
+        subs_seen.add(jpeg_params_for(r["url"])[1])
+    assert subs_seen == {"4:4:4", "4:2:2", "4:2:0"}, subs_seen
+    feats = {r["asset_id"]: r for r in
+             decode_features(assets, fake=False).collect()}
+    assert len(feats) == 18
+    for row in rows:
+        src = synth_jpeg_image(row["url"]).astype(np.float64)
+        luma = (0.299 * src[:, :, 0] + 0.587 * src[:, :, 1]
+                + 0.114 * src[:, :, 2])
+        r = feats[row["asset_id"]]
+        assert (r["height"], r["width"]) == src.shape[:2]
+        assert abs(r["mean_luma"] - float(luma.mean())) < 3.0, row["url"]
+    assets.unpersist()
+
+
 def test_png_resize_real_path(spark):
     from openair_spark.ops.multimodal import synth_png_assets
 
