@@ -590,6 +590,27 @@ _N_PLANES = 8
 _NEARDUP_THRESHOLD = 0.40  # synthetic embeddings are near-orthogonal; 0.4 keeps a small real pair set
 
 
+_EMB_DIM = 64  # embeddings table contract (oracles hard-code range(1, 65))
+
+
+def _plane_weight_literal(n_planes: int, dim: int = _EMB_DIM) -> str:
+    """±1 hyperplane weights as a nested array literal. The weights
+    depend only on (plane j, dim d) — n_planes x dim constants — so
+    they are derived ONCE driver-side with hashlib.md5 (bit-identical
+    to the oracle's md5 hex: first 15 hex chars -> int, parity) instead
+    of re-evaluating md5 per (row, plane, dim) on executors."""
+    import hashlib
+
+    rows = []
+    for j in range(n_planes):
+        vals = []
+        for d in range(dim):
+            hx = hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:15]
+            vals.append("1.0D" if int(hx, 16) % 2 == 0 else "-1.0D")
+        rows.append("array(" + ",".join(vals) + ")")
+    return "array(" + ",".join(rows) + ")"
+
+
 def _spark_lsh_bits(spark, sf_dir):
     """Random-hyperplane sign bits per (vec_id, plane j).
 
@@ -597,23 +618,28 @@ def _spark_lsh_bits(spark, sf_dir):
     per-plane dot is rounded before the sign threshold because Spark's
     partial-agg sum order is nondeterministic and a near-zero dot must not
     flip sign vs the oracle's sequential sum.
-    """
+
+    Plan (round 5, measured at 200k rows / 64 dims / 8 planes on
+    local[32], median of 3): the weights are a constant (j, d) matrix,
+    so they fold into a nested array LITERAL and the per-plane dot is a
+    row-local sequential fold over it — 1.65 s, vs 12.1 s for the
+    round-4 md5-inside-the-fold formulation (the md5 evaluation per
+    (row, plane, dim) was the real cost, not the interpreted HOF
+    fallback) and 2.9 s for a fully unrolled 512-term codegen
+    expression (wider whole-stage codegen but a much bigger expression
+    tree). The fold's left-assoc order matches the oracle's sequential
+    sum exactly; the 6-dp round before the sign threshold stays as
+    belt-and-braces."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # small single-file table -> 1 scan partition; spread the
-    # interpreted per-plane folds across the cluster
+    # per-plane folds across the cluster
     emb = emb.repartition(spark.sparkContext.defaultParallelism)
-    # row-local (round 4): each plane's dot folds over the embedding
-    # array dimension-by-dimension inside codegen — the previous plan
-    # exploded dims x planes and shuffled a groupBy sum; the sequential
-    # fold also matches the oracle's summation order exactly (the
-    # 6-dp round before the sign threshold stays as belt-and-braces)
+    lit = _plane_weight_literal(_N_PLANES)
     dots = emb.select("vec_id", F.posexplode(F.expr(
-        "transform(sequence(0, %d), j -> round(aggregate("
-        "sequence(0, size(v) - 1), CAST(0.0 AS DOUBLE), (acc, d) -> acc + "
-        "v[d] * IF(CAST(conv(substring(md5(concat_ws('_', CAST(j AS STRING), "
-        "CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) %% 2 = 0, "
-        "CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE))), 6))" % (_N_PLANES - 1)
+        f"transform(sequence(0, {_N_PLANES - 1}), j -> round(aggregate("
+        f"sequence(0, size(v) - 1), CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + v[d] * {lit}[j][d]), 6))"
         )).alias("j", "dot"))
     return dots.withColumn(
         "bit", F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(0)))
