@@ -160,6 +160,79 @@ def stream_dedup_docs(docs_stream: DataFrame,
     )
 
 
+def stream_neardup_docs(docs_stream: DataFrame, watermark: str = "1 hour",
+                        n_hashes: int = 8, band_size: int = 2,
+                        window: str = "5 minutes") -> DataFrame:
+    """Streaming MinHash-LSH NEAR-dup candidate suppression at ingest —
+    the near-dup twin of `stream_dedup_docs` (round-4 verdict stretch).
+
+    Per arriving doc the full MinHash band signature is computed
+    ROW-LOCALLY (shingles -> per-hash min -> banded sigs, the exact
+    scheme of the batch `q_dedup_minhash_lsh`, so stream and snapshot
+    agree on signatures); the doc explodes to one row per band and
+    `dropDuplicatesWithinWatermark(["band", "band_sig"])` keeps only
+    the FIRST arrival of each band signature — state is bounded at
+    (ingest rate x watermark), never corpus-sized. A second stateful
+    stage (Spark supports chained stateful operators on event-time
+    watermarks) folds the surviving band rows back to doc level:
+    `is_neardup_candidate` is true iff the doc lost at least one band
+    to an earlier arrival, i.e. it LSH-collides with something already
+    ingested.
+
+    Same fidelity contract as batch LSH banding: a flagged doc is a
+    CANDIDATE (band collision), not a verified near-dup — the stream
+    cannot re-fetch the earlier doc for the exact-similarity verify, so
+    route flagged docs to the batch verify stage instead of discarding.
+    Docs with fewer than 3 words have no shingles and are not emitted
+    (identical to the batch shingle domain).
+
+    docs_stream: streaming DataFrame with (ts timestamp, doc_id, text).
+    Output (append, emitted once the watermark passes the window):
+    (window_start, doc_id, n_bands, n_surviving, is_neardup_candidate).
+    """
+    n_bands = n_hashes // band_size
+    sig = (
+        docs_stream
+        .withColumn("w", F.split("text", " "))
+        .where(F.size("w") >= 3)
+        .withColumn("sh", F.expr(
+            "array_distinct(transform(sequence(0, size(w) - 3), "
+            "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))"))
+        # per-band signature: for each hash h in the band, the min over
+        # shingles of md5(h | shingle); 'h:minhash' parts sorted — the
+        # byte-identical band_sig string the batch op builds via
+        # groupBy + collect_list
+        .withColumn("bands", F.expr(
+            f"transform(sequence(0, {n_bands - 1}), b -> concat_ws('|', "
+            f"array_sort(transform(sequence(b * {band_size}, "
+            f"b * {band_size} + {band_size - 1}), h -> concat_ws(':', "
+            f"CAST(h AS STRING), array_min(transform(sh, s -> "
+            f"md5(concat_ws('|', CAST(h AS STRING), s)))))))))"))
+        # sentinel band (index n_bands, key unique per doc): a doc that
+        # loses EVERY real band to collisions would otherwise have no
+        # surviving rows and silently vanish instead of being flagged
+        .withColumn("bands", F.expr(
+            "concat(bands, array(concat('doc:', CAST(doc_id AS STRING))))"))
+        .select("ts", "doc_id", F.posexplode("bands").alias("band", "band_sig"))
+    )
+    survivors = (
+        sig.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["band", "band_sig"])
+    )
+    return (
+        survivors
+        .groupBy(F.window("ts", window).alias("win"), "doc_id")
+        .agg((F.count("*") - 1).alias("n_surviving"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "doc_id",
+            F.lit(n_bands).alias("n_bands"),
+            "n_surviving",
+            (F.col("n_surviving") < n_bands).alias("is_neardup_candidate"),
+        )
+    )
+
+
 def windowed_event_stats(events_stream: DataFrame, window: str = "10 minutes",
                          slide: str | None = None,
                          watermark: str = "30 minutes") -> DataFrame:

@@ -206,3 +206,79 @@ def test_stream_dedup_docs_bounded_state(spark, tmp_path):
     assert texts == ["alpha text", "beta text", "gamma text"]
     # first arrival of the duplicated text wins
     assert {r["doc_id"] for r in rows if r["text"] == "alpha text"} <= {1, 3}
+
+
+def test_stream_neardup_docs_flags_band_collisions(spark, tmp_path):
+    """Watermarked MinHash-band near-dup suppression: a doc arriving
+    after an LSH-colliding doc must be flagged as a candidate; docs
+    with fresh signatures must not. Expected flags are derived
+    INDEPENDENTLY from the batch band signatures (same md5 scheme) and
+    the micro-batch arrival order — the stream must agree with the
+    batch LSH view of the same corpus."""
+    src = str(tmp_path / "nd_docs")
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    from openair_spark.streaming.pipeline import stream_neardup_docs
+
+    t_a = "alpha bravo charlie delta echo foxtrot"
+    t_b = "one two three four five six seven"
+    t_d = "red green blue yellow purple orange"
+    batches = [
+        [("2025-01-01 10:00:00", 1, t_a), ("2025-01-01 10:00:10", 2, t_b)],
+        [("2025-01-01 10:01:00", 3, t_a),   # exact dup -> all bands collide
+         ("2025-01-01 10:01:10", 4, t_d)],  # fresh signature
+        [("2025-01-01 14:00:00", 99, "flush flush flush flush")],  # watermark push
+    ]
+    for rows in batches:
+        (spark.createDataFrame(rows, "ts_s string, doc_id long, text string")
+         .select(F.to_timestamp("ts_s").alias("ts"), "doc_id", "text")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream
+              .schema("ts timestamp, doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_neardup_docs(stream, watermark="1 hour")
+         .writeStream.outputMode("append")
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+
+    # independent expectation from the BATCH band signatures
+    from openair_spark.queries.textops import (
+        _BAND_SIZE,
+        _N_MINHASH,
+        _spark_shingles,
+    )
+    all_rows = [r for b in batches[:2] for r in b]
+    docs = spark.createDataFrame(
+        all_rows, "ts_s string, doc_id long, text string").select("doc_id", "text")
+    hashed = _spark_shingles(docs).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("h"),
+        "shingle",
+    ).select("doc_id", "h", F.md5(F.concat_ws(
+        "|", F.col("h").cast("string"), "shingle")).alias("hval"))
+    sig = hashed.groupBy("doc_id", "h").agg(F.min("hval").alias("minhash"))
+    band_rows = (sig.withColumn("band", (F.col("h") / _BAND_SIZE).cast("int"))
+                 .groupBy("doc_id", "band")
+                 .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(
+                     ":", F.col("h").cast("string"), "minhash")))).alias("band_sig"))
+                 .collect())
+    sigs_of = {}
+    for r in band_rows:
+        sigs_of.setdefault(r["doc_id"], set()).add((r["band"], r["band_sig"]))
+    arrival = [1, 2, 3, 4]  # batch order; no intra-batch collisions by design
+    seen: set = set()
+    expected_flag = {}
+    for did in arrival:
+        expected_flag[did] = bool(sigs_of[did] & seen)
+        seen |= sigs_of[did]
+
+    assert set(got) >= {1, 2, 3, 4}
+    for did in arrival:
+        assert got[did]["is_neardup_candidate"] == expected_flag[did], (
+            did, dict(got[did].asDict()))
+    assert got[3]["n_surviving"] == 0        # exact dup lost every band
+    assert got[1]["n_surviving"] == got[1]["n_bands"]
