@@ -68,10 +68,31 @@ def _orient(px, py, qx, qy, rx, ry):
 
 def proper_crossings(hx1, hy1, hx2, hy2, crow, seg, rs: RingSet,
                      n_cells: int) -> np.ndarray:
-    """(n_cells,) bool: does any of the cell's edges PROPERLY cross any
-    of the gathered (crow, seg) ring segments (d1*d2 < 0 strictly —
-    touching/collinear contact is intentionally not a crossing; the
-    callers' corner logic documents that tradeoff)."""
+    """(n_cells,) bool: does any of the cell's edges cross OR TOUCH any
+    of the gathered (crow, seg) ring segments (d1*d2 <= 0 AND
+    d3*d4 <= 0 — the non-strict test, ADVICE r4).
+
+    Counting touching/collinear contact as a crossing is what makes the
+    cheap corner-0 decision in corner_split safe: the only way a cell
+    with mixed-in/out corners can lack a STRICT crossing is a ring
+    vertex V lying exactly on a cell edge with the boundary entering
+    the interior through V. But then the ring segment (V, W) with W
+    off the edge line has d1 = orient(edge, V) = 0 (so d1*d2 <= 0) and,
+    since V lies on the edge between its endpoints (or on a corner,
+    where d3 = 0), the segment's line separates — or contains — an
+    endpoint, giving d3*d4 <= 0. Every such contact is therefore
+    flagged here and the cell classifies PARTIAL, never OUTSIDE/FULL.
+    The flip side is benign: a ring merely grazing a cell from outside
+    now also classifies PARTIAL (a conservative superset; FULL->PARTIAL
+    only means the exact PIP test runs where it could have been
+    skipped, and such contacts are measure-zero for float data).
+
+    Touch detection is the exact segment-intersection rule (strict
+    straddle OR an endpoint collinear AND inside the other segment's
+    bbox) — NOT the naive d1*d2<=0 & d3*d4<=0 product test, which
+    false-positives on DISJOINT collinear segments (all four
+    orientations zero; synthetic DP rectangles share lat/lon lines with
+    far-away cell edges, so that overcount would bloat covers)."""
     crossing = np.zeros(n_cells, dtype=bool)
     if len(crow) == 0:
         return crossing
@@ -83,35 +104,56 @@ def proper_crossings(hx1, hy1, hx2, hy2, crow, seg, rs: RingSet,
     d2 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
     d3 = _orient(bx1, by1, bx2, by2, ax1, ay1)
     d4 = _orient(bx1, by1, bx2, by2, ax2, ay2)
-    hit = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=1)
+
+    def _on_seg(px1, py1, px2, py2, qx, qy):
+        # given q collinear with segment p, is q within p's bbox?
+        return ((qx >= np.minimum(px1, px2)) & (qx <= np.maximum(px1, px2))
+                & (qy >= np.minimum(py1, py2)) & (qy <= np.maximum(py1, py2)))
+
+    hit = (d1 * d2 < 0) & (d3 * d4 < 0)
+    hit |= (d1 == 0) & _on_seg(ax1, ay1, ax2, ay2, bx1, by1)
+    hit |= (d2 == 0) & _on_seg(ax1, ay1, ax2, ay2, bx2, by2)
+    hit |= (d3 == 0) & _on_seg(bx1, by1, bx2, by2, ax1, ay1)
+    hit |= (d4 == 0) & _on_seg(bx1, by1, bx2, by2, ax2, ay2)
+    hit = hit.any(axis=1)
     crossing[crow[hit]] = True
     return crossing
 
 
 def corner_split(hx1, hy1, partial: np.ndarray, owner: np.ndarray,
                  rings: list, nv: int):
-    """(all_in, any_in) for cells not already PARTIAL, from ALL nv
-    corners (any_in => PARTIAL unless all_in => FULL). Testing every
-    corner keeps the cover's conservative direction: a mixed-corner
-    cell with no detected proper crossing (possible only when a ring
-    vertex sits exactly on a cell edge — measure zero for float data,
-    but ADVICE r4 asked for the safe side) classifies PARTIAL rather
-    than OUTSIDE. Cost parity with the old corner-0-then-rest scheme:
-    one grouped per-owner ray cast over nv corners instead of two
-    kernel rounds (the ~9 ms/call fixed numpy overhead dominates at
-    cover batch sizes, so fewer calls ~ offsets the extra points)."""
+    """(all_in, any_in) for cells not already PARTIAL. Corner 0 decides
+    OUTSIDE; corner-0-inside cells verify FULL against the remaining
+    corners. This is SAFE (not just measure-zero-safe) because
+    proper_crossings now counts touching contact: a mixed-corner cell
+    with no flagged contact cannot exist — the boundary would have to
+    enter the interior through a ring vertex exactly on a cell edge,
+    which the exact touch test flags as a crossing (see the
+    proper_crossings docstring for the argument; ADVICE r4 resolved
+    there at zero extra ray-cast cost instead of testing all nv corners
+    here, which measured ~2.3x on the s2_cover leg). Grouped per-owner
+    2D ray casts — ~2x the CSR RingSet path at cover batch sizes."""
     m = len(partial)
     rows = np.nonzero(~partial)[0]
     all_in = np.zeros(m, dtype=bool)
     any_in = np.zeros(m, dtype=bool)
     if len(rows):
+        c0 = np.zeros(len(rows), dtype=bool)
         orow = owner[rows]
-        corners = np.zeros((len(rows), nv), dtype=bool)
         for ov in np.unique(orow):
             mg = orow == ov
-            corners[mg] = points_in_ring(
-                hx1[rows[mg]].ravel(), hy1[rows[mg]].ravel(),
-                rings[ov]).reshape(-1, nv)
-        all_in[rows] = corners.all(axis=1)
-        any_in[rows] = corners.any(axis=1)
+            c0[mg] = points_in_ring(hx1[rows[mg], 0], hy1[rows[mg], 0],
+                                    rings[ov])
+        in_rows = rows[c0]
+        if len(in_rows):
+            oin = owner[in_rows]
+            rest = np.zeros((len(in_rows), nv - 1), dtype=bool)
+            for ov in np.unique(oin):
+                mg = oin == ov
+                rest[mg] = points_in_ring(
+                    hx1[in_rows[mg], 1:].ravel(),
+                    hy1[in_rows[mg], 1:].ravel(),
+                    rings[ov]).reshape(-1, nv - 1)
+            all_in[in_rows] = rest.all(axis=1)
+            any_in[in_rows] = True
     return all_in, any_in
