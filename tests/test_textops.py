@@ -146,6 +146,10 @@ def test_materialized_intermediates_release_after_gc(spark):
         infos = sc._jsc.sc().getRDDStorageInfo()
         return sum(i.memSize() + i.diskSize() for i in infos)
 
+    # delta vs the suite's baseline: other tests legitimately hold
+    # module-scoped caches in the shared session, so assert the query's
+    # OWN blocks drain, not that the session is empty
+    baseline = storage_bytes()
     for _ in range(2):
         out = q_dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
         out.count()
@@ -154,8 +158,9 @@ def test_materialized_intermediates_release_after_gc(spark):
     drained = False
     for _ in range(20):
         sc._jvm.System.gc()
-        if storage_bytes() == 0:
+        if storage_bytes() <= baseline:
             drained = True
             break
         time.sleep(0.5)
-    assert drained, f"{storage_bytes()} bytes still cached after GC drain"
+    assert drained, (f"{storage_bytes() - baseline} bytes above baseline "
+                     f"still cached after GC drain")
