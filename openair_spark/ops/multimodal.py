@@ -169,6 +169,86 @@ def synth_jpeg_assets(pages: DataFrame) -> DataFrame:
     return src.mapInPandas(kernel, ASSETS_SCHEMA)
 
 
+def synth_wav_audio(url: str, sample_rate: int = 8_000) -> np.ndarray:
+    """Deterministic mono waveform for a url: a two-tone sine mix with
+    frequency, phase, amplitude, and duration drawn from sha256(url)."""
+    digest = hashlib.sha256(url.encode("utf-8")).digest()
+    n = sample_rate // 4 + digest[0] * 8          # 0.25-0.5 s
+    f1 = 200.0 + digest[1] * 4                    # 200-1220 Hz
+    f2 = 300.0 + digest[2] * 6
+    a1 = 0.3 + digest[3] / 1020.0
+    a2 = 0.2 + digest[4] / 1275.0
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    return (a1 * np.sin(2 * np.pi * f1 * t + digest[5] / 40.0)
+            + a2 * np.sin(2 * np.pi * f2 * t + digest[6] / 40.0))
+
+
+def synth_wav_assets(pages: DataFrame, sample_rate: int = 8_000) -> DataFrame:
+    """pages -> one REAL `audio/wav` asset row per page (PCM16 mono,
+    encoded with the from-scratch ops/wav encoder)."""
+    from . import wav
+
+    src = pages.select("url")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                payload = wav.encode_wav(synth_wav_audio(url, sample_rate),
+                                         sample_rate)
+                out.append({
+                    "asset_id": hashlib.sha256(payload).hexdigest()[:16],
+                    "url": url,
+                    "kind": "wav",
+                    "payload": payload,
+                    "meta": {
+                        "content_type": "audio/wav",
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                    },
+                })
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "url", "kind", "payload", "meta"])
+
+    return src.mapInPandas(kernel, ASSETS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = ("asset_id string, sample_rate int, n_channels int, "
+                         "n_frames long, duration_s double, rms double, "
+                         "peak double")
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """assets with `audio/wav` payloads -> per-asset waveform features
+    via one Arrow mapInPandas (REAL decode: ops/wav.py, RIFF/PCM from
+    the public spec — no audio library). Non-WAV payloads raise, same
+    honesty contract as the image lanes."""
+    from . import wav
+
+    src = assets.select("asset_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                samples, rate = wav.decode_wav(bytes(payload))
+                frames, ch = samples.shape
+                out.append({
+                    "asset_id": aid,
+                    "sample_rate": rate,
+                    "n_channels": ch,
+                    "n_frames": frames,
+                    "duration_s": frames / rate,
+                    "rms": float(np.sqrt((samples ** 2).mean())),
+                    "peak": float(np.abs(samples).max()),
+                })
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "sample_rate", "n_channels", "n_frames",
+                "duration_s", "rms", "peak"])
+
+    return src.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
 def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     """payload -> (h, w, float64 luma tile).
 

@@ -1,0 +1,100 @@
+"""From-scratch WAV codec + audio feature lane tests (ops/wav.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from openair_spark.ops.wav import decode_wav, encode_wav, is_wav
+
+
+def test_pcm16_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(0)
+    for shape in [(800,), (500, 2), (333, 3)]:
+        x = rng.uniform(-0.9, 0.9, shape)
+        data = encode_wav(x, sample_rate=8000)
+        assert is_wav(data)
+        y, rate = decode_wav(data)
+        assert rate == 8000
+        ref = x[:, None] if x.ndim == 1 else x
+        assert y.shape == ref.shape
+        # PCM16 quantization: half-step absolute error
+        assert np.abs(y - ref).max() <= 1.0 / 32767 + 1e-9
+
+
+def test_sine_statistics_survive_roundtrip():
+    t = np.arange(4000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    y, rate = decode_wav(encode_wav(x, 8000))
+    assert abs(float(np.sqrt((y ** 2).mean())) - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(float(np.abs(y).max()) - 0.5) < 1e-3
+
+
+def test_float32_and_pcm8_formats():
+    x = np.linspace(-1, 1, 256)
+    # hand-build float32 (format 3) and PCM8 (format 1 / 8-bit) files
+    def build(fmt_code, bits, payload):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * bits // 8,
+                          bits // 8, bits)
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(payload)) + payload
+        return out
+
+    f32, rate = decode_wav(build(3, 32, x.astype("<f4").tobytes()))
+    assert rate == 8000 and np.allclose(f32[:, 0], x, atol=1e-7)
+    p8, _ = decode_wav(build(1, 8, ((x * 127) + 128).clip(0, 255)
+                             .astype(np.uint8).tobytes()))
+    assert np.abs(p8[:, 0] - x).max() <= 1.5 / 127
+
+
+def test_unknown_chunks_skipped_and_error_gating():
+    x = np.zeros(100)
+    good = bytearray(encode_wav(x, 8000))
+    # splice an unknown chunk between fmt and data
+    idx = bytes(good).find(b"data")
+    spliced = bytes(good[:idx]) + b"LIST" + struct.pack("<I", 4) + b"INFO" + bytes(good[idx:])
+    spliced = bytearray(spliced)
+    struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+    y, _ = decode_wav(bytes(spliced))
+    assert y.shape == (100, 1)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all....")
+    with pytest.raises(ValueError):       # truncated data chunk
+        decode_wav(bytes(good[:-10]))
+    with pytest.raises(NotImplementedError):  # ADPCM format code
+        bad = bytearray(good)
+        fidx = bytes(bad).find(b"fmt ") + 8
+        struct.pack_into("<H", bad, fidx, 2)
+        decode_wav(bytes(bad))
+
+
+def test_audio_features_lane(spark):
+    """synth_wav_assets emits real PCM16 WAVs; audio_features decodes
+    them and the stats must match the PRE-quantization source waveform
+    within the PCM16 error bound (independent truth)."""
+    from openair_spark.ops.multimodal import (
+        audio_features,
+        synth_wav_assets,
+        synth_wav_audio,
+    )
+    from openair_spark.spark.corpus import pages_df
+
+    assets = synth_wav_assets(pages_df(spark, 10, "mm-wav")).cache()
+    rows = assets.select("url", "asset_id", "meta", "payload").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["meta"]["content_type"] == "audio/wav"
+        assert bytes(r["payload"])[:4] == b"RIFF"
+    feats = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    for r in rows:
+        src = synth_wav_audio(r["url"])
+        f = feats[r["asset_id"]]
+        assert f["n_channels"] == 1 and f["sample_rate"] == 8000
+        assert f["n_frames"] == len(src)
+        assert abs(f["rms"] - float(np.sqrt((src ** 2).mean()))) < 1e-3
+        assert abs(f["peak"] - float(np.abs(src).max())) < 1e-3
+    assets.unpersist()
