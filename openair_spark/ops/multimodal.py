@@ -342,21 +342,92 @@ def resize_tiles(assets: DataFrame, out_h: int = 4, out_w: int = 4,
     return src.mapInPandas(kernel, schema)
 
 
+def synth_avi_clip(url: str, n_frames: int = 4) -> list[np.ndarray]:
+    """Deterministic RGB frame sequence for a url: the url's synthetic
+    JPEG image rolled per frame (a fake pan — cheap, smooth, and each
+    frame's luma stats are recomputable driver-side)."""
+    base = synth_jpeg_image(url)
+    return [np.roll(np.roll(base, 2 * i, axis=0), 3 * i, axis=1)
+            for i in range(n_frames)]
+
+
+def synth_avi_assets(pages: DataFrame, n_frames: int = 4,
+                     fps: int = 10) -> DataFrame:
+    """pages -> one REAL `video/x-msvideo` MJPEG-AVI asset row per page
+    (frames encoded with ops/jpeg, container built by ops/avi)."""
+    from . import avi
+
+    src = pages.select("url")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                payload = avi.encode_mjpeg_avi(
+                    synth_avi_clip(url, n_frames), fps=fps)
+                out.append({
+                    "asset_id": hashlib.sha256(payload).hexdigest()[:16],
+                    "url": url,
+                    "kind": "avi",
+                    "payload": payload,
+                    "meta": {
+                        "content_type": "video/x-msvideo",
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                    },
+                })
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "url", "kind", "payload", "meta"])
+
+    return src.mapInPandas(kernel, ASSETS_SCHEMA)
+
+
 def frame_sample(assets: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFrame:
-    """Video-style frame sampling stub: derive `n_frames` deterministic
-    'frames' per asset (payload hash chained), one output row per frame
-    — the explode shape a video pipeline produces."""
+    """Video frame sampling, one output row per sampled frame.
+
+    MJPEG-AVI payloads sample for REAL (ops/avi.py container walk +
+    ops/jpeg.py per-frame decode): `n_frames` evenly spaced decoded
+    frames, each with its true mean luma and a pixel-content signature.
+    Other payloads: fake=True derives deterministic stub frames from
+    the payload hash (mean_luma null — the plumbing shape without the
+    codec claim); fake=False raises for non-AVI video."""
+    from . import avi
+
     src = assets.select("asset_id", "payload")
-    schema = "asset_id string, frame_idx int, frame_sig string"
+    schema = ("asset_id string, frame_idx int, frame_sig string, "
+              "mean_luma double")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                sig = hashlib.sha256(bytes(payload)).hexdigest()
+                payload = bytes(payload)
+                if avi.is_avi(payload):
+                    frames, _fps = avi.decode_mjpeg_avi(payload)
+                    picks = [int(i * (len(frames) - 1) / max(n_frames - 1, 1))
+                             for i in range(min(n_frames, len(frames)))]
+                    for j, fi in enumerate(picks):
+                        f = frames[fi].astype(np.float64)
+                        luma = (0.299 * f[..., 0] + 0.587 * f[..., 1]
+                                + 0.114 * f[..., 2])
+                        out.append({
+                            "asset_id": aid, "frame_idx": j,
+                            "frame_sig": hashlib.sha256(
+                                frames[fi].tobytes()).hexdigest()[:16],
+                            "mean_luma": float(luma.mean()),
+                        })
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-MJPEG-AVI video decode requires a codec not "
+                        "present in this environment; pass fake=True for "
+                        "the deterministic stub")
+                sig = hashlib.sha256(payload).hexdigest()
                 for i in range(n_frames):
                     sig = hashlib.sha256((sig + str(i)).encode()).hexdigest()
-                    out.append({"asset_id": aid, "frame_idx": i, "frame_sig": sig[:16]})
-            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame_sig"])
+                    out.append({"asset_id": aid, "frame_idx": i,
+                                "frame_sig": sig[:16], "mean_luma": None})
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "frame_idx", "frame_sig", "mean_luma"])
 
     return src.mapInPandas(kernel, schema)
