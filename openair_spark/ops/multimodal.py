@@ -261,7 +261,7 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     end-to-end); fake=False raises — those codecs are genuinely absent
     in this container.
     """
-    from . import jpeg, png
+    from . import gif, jpeg, png
 
     img = None
     if png.is_png(payload):
@@ -270,6 +270,9 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         decoded = jpeg.decode_jpeg(payload)
         img = (decoded[:, :, None] if decoded.ndim == 2 else decoded
                ).astype(np.float64)
+    elif gif.is_gif(payload):
+        frames, _delays = gif.decode_gif(payload)
+        img = frames[0][:, :, :3].astype(np.float64)  # first frame RGB
     if img is not None:
         h, w, ch = img.shape
         if ch in (1, 2):  # gray / gray+alpha
@@ -382,16 +385,61 @@ def synth_avi_assets(pages: DataFrame, n_frames: int = 4,
     return src.mapInPandas(kernel, ASSETS_SCHEMA)
 
 
+def synth_gif_clip(url: str, n_frames: int = 3) -> list[np.ndarray]:
+    """Deterministic paletted RGB frame sequence for a url: an 8-color
+    block pattern (GIF's exact-palette domain) scrolled per frame."""
+    digest = hashlib.sha256(url.encode("utf-8")).digest()
+    h = 8 + digest[0] % 9
+    w = 8 + digest[1] % 9
+    palette = np.array([[digest[3 * i + 2], digest[3 * i + 3], digest[3 * i + 4]]
+                        for i in range(8)], dtype=np.uint8)
+    cell = (np.add.outer(np.arange(h) // 2, np.arange(w) // 2)
+            + digest[26]) % 8
+    return [palette[(cell + i) % 8] for i in range(n_frames)]
+
+
+def synth_gif_assets(pages: DataFrame, n_frames: int = 3) -> DataFrame:
+    """pages -> one REAL animated `image/gif` asset row per page
+    (exact-palette frames encoded with the from-scratch ops/gif LZW
+    encoder)."""
+    from . import gif
+
+    src = pages.select("url")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                payload = gif.encode_gif(synth_gif_clip(url, n_frames))
+                out.append({
+                    "asset_id": hashlib.sha256(payload).hexdigest()[:16],
+                    "url": url,
+                    "kind": "gif",
+                    "payload": payload,
+                    "meta": {
+                        "content_type": "image/gif",
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                    },
+                })
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "url", "kind", "payload", "meta"])
+
+    return src.mapInPandas(kernel, ASSETS_SCHEMA)
+
+
 def frame_sample(assets: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFrame:
     """Video frame sampling, one output row per sampled frame.
 
     MJPEG-AVI payloads sample for REAL (ops/avi.py container walk +
-    ops/jpeg.py per-frame decode): `n_frames` evenly spaced decoded
-    frames, each with its true mean luma and a pixel-content signature.
-    Other payloads: fake=True derives deterministic stub frames from
-    the payload hash (mean_luma null — the plumbing shape without the
-    codec claim); fake=False raises for non-AVI video."""
-    from . import avi
+    ops/jpeg.py per-frame decode), as do animated GIFs (ops/gif.py,
+    frames composited per the disposal method): `n_frames` evenly
+    spaced decoded frames, each with its true mean luma and a
+    pixel-content signature. Other payloads: fake=True derives
+    deterministic stub frames from the payload hash (mean_luma null —
+    the plumbing shape without the codec claim); fake=False raises for
+    genuinely absent video codecs."""
+    from . import avi, gif
 
     src = assets.select("asset_id", "payload")
     schema = ("asset_id string, frame_idx int, frame_sig string, "
@@ -402,8 +450,13 @@ def frame_sample(assets: DataFrame, n_frames: int = 3, fake: bool = True) -> Dat
             out = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 payload = bytes(payload)
+                frames = None
                 if avi.is_avi(payload):
                     frames, _fps = avi.decode_mjpeg_avi(payload)
+                elif gif.is_gif(payload):
+                    gframes, _delays = gif.decode_gif(payload)
+                    frames = [f[:, :, :3] for f in gframes]
+                if frames is not None:
                     picks = [int(i * (len(frames) - 1) / max(n_frames - 1, 1))
                              for i in range(min(n_frames, len(frames)))]
                     for j, fi in enumerate(picks):
@@ -419,9 +472,9 @@ def frame_sample(assets: DataFrame, n_frames: int = 3, fake: bool = True) -> Dat
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-MJPEG-AVI video decode requires a codec not "
-                        "present in this environment; pass fake=True for "
-                        "the deterministic stub")
+                        "non-MJPEG-AVI/GIF video decode requires a codec "
+                        "not present in this environment; pass fake=True "
+                        "for the deterministic stub")
                 sig = hashlib.sha256(payload).hexdigest()
                 for i in range(n_frames):
                     sig = hashlib.sha256((sig + str(i)).encode()).hexdigest()
