@@ -252,16 +252,17 @@ def audio_features(assets: DataFrame) -> DataFrame:
 def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     """payload -> (h, w, float64 luma tile).
 
-    PNG and JPEG payloads decode for REAL (ops/png.py: stdlib zlib +
-    numpy unfilter; ops/jpeg.py: from-scratch baseline T.81 — Huffman,
-    dequant, vectorized IDCT, chroma upsample): gray passes through,
-    color reduces to Rec.601 luma (0.299 R + 0.587 G + 0.114 B).
-    Remaining media types (WebP, audio, video): fake=True derives a
-    deterministic tile from the payload hash (plumbing stays testable
-    end-to-end); fake=False raises — those codecs are genuinely absent
-    in this container.
+    PNG, JPEG, GIF (first frame), and BMP payloads decode for REAL
+    (ops/png.py: stdlib zlib + numpy unfilter; ops/jpeg.py:
+    from-scratch baseline T.81; ops/gif.py: from-scratch LZW;
+    ops/bmp.py: DIB header walk): gray passes through, color reduces
+    to Rec.601 luma (0.299 R + 0.587 G + 0.114 B). Remaining media
+    types (WebP, compressed audio, non-MJPEG video): fake=True derives
+    a deterministic tile from the payload hash (plumbing stays
+    testable end-to-end); fake=False raises — those codecs are
+    genuinely absent in this container.
     """
-    from . import gif, jpeg, png
+    from . import bmp, gif, jpeg, png
 
     img = None
     if png.is_png(payload):
@@ -273,6 +274,8 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     elif gif.is_gif(payload):
         frames, _delays = gif.decode_gif(payload)
         img = frames[0][:, :, :3].astype(np.float64)  # first frame RGB
+    elif bmp.is_bmp(payload):
+        img = bmp.decode_bmp(payload).astype(np.float64)
     if img is not None:
         h, w, ch = img.shape
         if ch in (1, 2):  # gray / gray+alpha
@@ -283,9 +286,9 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         return h, w, luma
     if not fake:
         raise NotImplementedError(
-            "non-PNG/JPEG media decode requires a codec (PIL/ffmpeg) not "
-            "present in this environment; pass fake=True for the "
-            "deterministic stub")
+            "media decode beyond PNG/JPEG/GIF/BMP requires a codec "
+            "(PIL/ffmpeg) not present in this environment; pass fake=True "
+            "for the deterministic stub")
     digest = hashlib.sha256(payload).digest()
     h = 8 + digest[0] % 8
     w = 8 + digest[1] % 8
