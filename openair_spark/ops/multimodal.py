@@ -262,7 +262,7 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     testable end-to-end); fake=False raises — those codecs are
     genuinely absent in this container.
     """
-    from . import bmp, gif, jpeg, png
+    from . import bmp, gif, jpeg, png, webp
 
     img = None
     if png.is_png(payload):
@@ -276,6 +276,8 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         img = frames[0][:, :, :3].astype(np.float64)  # first frame RGB
     elif bmp.is_bmp(payload):
         img = bmp.decode_bmp(payload).astype(np.float64)
+    elif webp.is_webp(payload):
+        img = webp.decode_webp(payload)[:, :, :3].astype(np.float64)
     if img is not None:
         h, w, ch = img.shape
         if ch in (1, 2):  # gray / gray+alpha
