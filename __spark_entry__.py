@@ -341,29 +341,35 @@ def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       decoder (ops/png.py — stdlib zlib + numpy unfilter);
     - synthesized `image/jpeg` assets through the REAL from-scratch
       baseline T.81 decoder (ops/jpeg.py — Huffman + dequant + IDCT,
-      mixed 4:4:4/4:2:2/4:2:0 and restart intervals per url).
-    Teeth: one output row per asset in every lane; 10 sampled PNG rows
-    must match driver-side (width, height, mean_luma) exactly; 10
-    sampled JPEG rows must match driver-side dims exactly and the
-    SOURCE image's mean luma within the codec's loss bound (the decoded
-    mean is checked against pre-compression truth, so a broken decode
-    cannot cancel against itself)."""
+      mixed 4:4:4/4:2:2/4:2:0 and restart intervals per url);
+    - synthesized `image/webp` assets through the REAL from-scratch
+      VP8L lossless decoder (ops/webp.py).
+    Teeth: one output row per asset in every lane; 10 sampled PNG and
+    10 sampled WebP rows must match driver-side (width, height,
+    mean_luma) EXACTLY (both formats lossless); 10 sampled JPEG rows
+    must match driver-side dims exactly and the SOURCE image's mean
+    luma within the codec's loss bound (the decoded mean is checked
+    against pre-compression truth, so a broken decode cannot cancel
+    against itself)."""
     from openair_spark.ops.multimodal import (
         decode_features, extract_assets, synth_jpeg_assets, synth_jpeg_image,
-        synth_png_assets, synth_png_image)
+        synth_png_assets, synth_png_image, synth_webp_assets)
 
     pages = _pages_for(spark, sf_dir)
     html_assets = extract_assets(pages).cache()
     png_assets = synth_png_assets(pages).cache()
     jpeg_assets = synth_jpeg_assets(pages).cache()
+    webp_assets = synth_webp_assets(pages).cache()
     html_out = decode_features(html_assets, fake=True)
     png_out = decode_features(png_assets, fake=False).cache()
     jpeg_out = decode_features(jpeg_assets, fake=False).cache()
-    n_html, n_png, n_jpeg = (html_assets.count(), png_assets.count(),
-                             jpeg_assets.count())
+    webp_out = decode_features(webp_assets, fake=False).cache()
+    n_html, n_png, n_jpeg, n_webp = (html_assets.count(), png_assets.count(),
+                                     jpeg_assets.count(), webp_assets.count())
     assert html_out.count() == n_html
     assert png_out.count() == n_png, "real PNG decode dropped rows"
     assert jpeg_out.count() == n_jpeg, "real JPEG decode dropped rows"
+    assert webp_out.count() == n_webp, "real WebP decode dropped rows"
     # pixel-stat teeth: recompute expected stats driver-side
     import numpy as np
 
@@ -388,13 +394,27 @@ def _multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert (r["height"], r["width"]) == src_img.shape[:2], s["url"]
         # decoded mean vs pre-compression truth: q>=85 on smooth content
         assert abs(r["mean_luma"] - float(src_luma.mean())) < 3.0, s["url"]
-    out = html_out.unionByName(png_out).unionByName(jpeg_out).cache()
+    wsample = webp_assets.select("url", "asset_id").limit(10).collect()
+    wgot = {r["asset_id"]: r for r in webp_out.where(
+        F.col("asset_id").isin([s["asset_id"] for s in wsample])).collect()}
+    for s in wsample:
+        src_img = synth_jpeg_image(s["url"]).astype(np.float64)
+        src_luma = (0.299 * src_img[:, :, 0] + 0.587 * src_img[:, :, 1]
+                    + 0.114 * src_img[:, :, 2])
+        r = wgot[s["asset_id"]]
+        assert (r["height"], r["width"]) == src_img.shape[:2], s["url"]
+        # VP8L is lossless: exact parity with the source image
+        assert abs(r["mean_luma"] - float(src_luma.mean())) < 1e-9, s["url"]
+    out = (html_out.unionByName(png_out).unionByName(jpeg_out)
+           .unionByName(webp_out).cache())
     out.count()  # materialize the small union, then release the lane caches
     html_assets.unpersist()
     png_assets.unpersist()
     jpeg_assets.unpersist()
+    webp_assets.unpersist()
     png_out.unpersist()
     jpeg_out.unpersist()
+    webp_out.unpersist()
     return out
 
 

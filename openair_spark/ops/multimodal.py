@@ -390,6 +390,35 @@ def synth_avi_assets(pages: DataFrame, n_frames: int = 4,
     return src.mapInPandas(kernel, ASSETS_SCHEMA)
 
 
+def synth_webp_assets(pages: DataFrame) -> DataFrame:
+    """pages -> one REAL lossless `image/webp` asset row per page (the
+    deterministic smooth RGB image, VP8L-encoded by ops/webp)."""
+    from . import webp
+
+    src = pages.select("url")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                payload = webp.encode_webp(synth_jpeg_image(url))
+                out.append({
+                    "asset_id": hashlib.sha256(payload).hexdigest()[:16],
+                    "url": url,
+                    "kind": "webp",
+                    "payload": payload,
+                    "meta": {
+                        "content_type": "image/webp",
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                    },
+                })
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "url", "kind", "payload", "meta"])
+
+    return src.mapInPandas(kernel, ASSETS_SCHEMA)
+
+
 def synth_gif_clip(url: str, n_frames: int = 3) -> list[np.ndarray]:
     """Deterministic paletted RGB frame sequence for a url: an 8-color
     block pattern (GIF's exact-palette domain) scrolled per frame."""
