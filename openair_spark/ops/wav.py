@@ -27,6 +27,12 @@ import numpy as np
 
 _MAX_FRAMES = 256_000_000  # hostile-header allocation guard (~2 GB float64 mono)
 
+# MS-ADPCM tables (public Microsoft WAVE spec)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int32)
+_MS_COEFS = np.array([[256, 0], [512, -256], [0, 0], [192, 64],
+                      [240, 0], [460, -208], [392, -232]], dtype=np.int32)
+
 # IMA ADPCM tables (public IMA/DVI specification)
 _IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
 _IMA_STEP_TABLE = np.array([
@@ -143,6 +149,48 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     return bytes(out)
 
 
+def _ms_adpcm_decode(payload: bytes, ch: int, block_align: int) -> np.ndarray:
+    """MS-ADPCM data chunk -> interleaved int16 samples (n, ch).
+    Block layout per channel: predictor index byte, int16 initial
+    delta, int16 sample1, int16 sample2; then 4-bit nibbles,
+    channel-interleaved."""
+    header = 7 * ch
+    if block_align <= header:
+        raise ValueError(f"bad MS-ADPCM block align {block_align}")
+    out_blocks = []
+    for off in range(0, len(payload) - block_align + 1, block_align):
+        block = payload[off:off + block_align]
+        preds = [block[c] for c in range(ch)]
+        if any(p >= len(_MS_COEFS) for p in preds):
+            raise ValueError("MS-ADPCM predictor index out of range")
+        deltas = [struct.unpack_from("<h", block, ch + 2 * c)[0]
+                  for c in range(ch)]
+        s1 = [struct.unpack_from("<h", block, 3 * ch + 2 * c)[0]
+              for c in range(ch)]
+        s2 = [struct.unpack_from("<h", block, 5 * ch + 2 * c)[0]
+              for c in range(ch)]
+        chans = [[s2[c], s1[c]] for c in range(ch)]
+        c = 0
+        for byte in block[header:]:
+            for nib in (byte >> 4, byte & 0x0F):     # high nibble first
+                signed = nib - 16 if nib >= 8 else nib
+                co = _MS_COEFS[preds[c]]
+                pred = (chans[c][-1] * int(co[0])
+                        + chans[c][-2] * int(co[1])) >> 8
+                sample = min(32767, max(-32768, pred + signed * deltas[c]))
+                chans[c].append(int(sample))
+                deltas[c] = max(16, (int(_MS_ADAPT[nib]) * deltas[c]) >> 8)
+                c = (c + 1) % ch
+        n = len(chans[0])
+        blk = np.empty((n, ch), dtype=np.int16)
+        for k in range(ch):
+            blk[:, k] = np.asarray(chans[k][:n], dtype=np.int16)
+        out_blocks.append(blk)
+    if not out_blocks:
+        raise ValueError("no complete MS-ADPCM block")
+    return np.concatenate(out_blocks, axis=0)
+
+
 def encode_wav_ima_adpcm(samples: np.ndarray, sample_rate: int = 8_000,
                          block_samples: int = 505) -> bytes:
     """Fixture-grade IMA ADPCM encoder (mono): float samples in
@@ -250,10 +298,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     elif audio_format == 0x11 and bits == 4:   # IMA ADPCM
         pcm = _ima_adpcm_decode(payload, ch, block_align)
         return pcm.astype(np.float64) / 32768.0, rate
+    elif audio_format == 2 and bits == 4:      # MS-ADPCM
+        pcm = _ms_adpcm_decode(payload, ch, block_align)
+        return pcm.astype(np.float64) / 32768.0, rate
     else:
         raise NotImplementedError(
             f"WAV format {audio_format}/{bits}-bit not supported "
-            "(PCM 8/16/32, float32, A-law, mu-law, IMA ADPCM only)")
+            "(PCM 8/16/32, float32, A-law, mu-law, IMA/MS ADPCM only)")
     frames = len(samples) // ch
     if frames > _MAX_FRAMES:
         raise ValueError(f"{frames} frames exceeds decoder cap")

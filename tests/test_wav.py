@@ -165,6 +165,48 @@ def test_ima_adpcm_roundtrip_snr():
     assert snr > 20.0, snr
 
 
+def test_ms_adpcm_roundtrip_snr():
+    """Test-side MS-ADPCM encoder (predictor 0: coef [256, 0] -> pred =
+    previous sample) -> module decoder must track the source >20 dB."""
+    t = np.arange(1500) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 250 * t)
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(int)
+    block_samples = 500
+    adapt = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    blocks = bytearray()
+    i = 0
+    block_align = None
+    while i < len(pcm):
+        chunk = pcm[i:i + block_samples]
+        i += block_samples
+        s2, s1 = int(chunk[0]), int(chunk[1]) if len(chunk) > 1 else int(chunk[0])
+        delta = 128
+        blocks += struct.pack("<Bhhh", 0, delta, s1, s2)
+        nibbles = []
+        prev, prev2 = s1, s2
+        for s in chunk[2:]:
+            pred = (prev * 256 + prev2 * 0) >> 8
+            nib = int(np.clip(round((int(s) - pred) / delta), -8, 7))
+            sample = int(np.clip(pred + nib * delta, -32768, 32767))
+            prev2, prev = prev, sample
+            delta = max(16, (adapt[nib & 0x0F] * delta) >> 8)
+            nibbles.append(nib & 0x0F)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for k in range(0, len(nibbles), 2):
+            blocks.append((nibbles[k] << 4) | nibbles[k + 1])
+        if block_align is None:
+            block_align = 7 + len(nibbles) // 2
+    data = _build_wav(2, 1, 8000, block_align, 4, bytes(blocks))
+    y, rate = decode_wav(data)
+    assert rate == 8000
+    n = min(len(y), len(x))
+    err = y[:n, 0] - x[:n]
+    snr = 10 * np.log10((x[:n] ** 2).mean() / max((err ** 2).mean(), 1e-12))
+    assert snr > 20.0, snr
+
+
 def test_unsupported_wav_formats_gated():
-    with pytest.raises(NotImplementedError):   # MS-ADPCM (format 2)
-        decode_wav(_build_wav(2, 1, 8000, 256, 4, b"\x00" * 256))
+    with pytest.raises(NotImplementedError):   # MPEG-in-WAV (format 0x55)
+        decode_wav(_build_wav(0x55, 1, 8000, 256, 16, b"\x00" * 256))
