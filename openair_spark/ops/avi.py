@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from ._codec_common import clean_errors
+
 from .jpeg import decode_jpeg, encode_jpeg, is_jpeg
 
 _MAX_FRAMES = 100_000
@@ -80,6 +82,7 @@ def encode_mjpeg_avi(frames: list[np.ndarray], fps: int = 10,
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+@clean_errors
 def decode_mjpeg_avi(data: bytes) -> tuple[list[np.ndarray], int]:
     """MJPEG AVI bytes -> (RGB frames, fps)."""
     if not is_avi(data):

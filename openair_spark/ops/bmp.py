@@ -15,6 +15,8 @@ import struct
 
 import numpy as np
 
+from ._codec_common import clean_errors
+
 _MAX_PIXELS = 64_000_000
 
 
@@ -41,6 +43,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + payload
 
 
+@clean_errors
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> (h, w, 3) uint8 RGB."""
     if not is_bmp(data):

@@ -29,6 +29,8 @@ import struct
 
 import numpy as np
 
+from ._codec_common import clean_errors
+
 _MAX_PIXELS = 64_000_000
 _MAX_FRAMES = 10_000
 
@@ -168,6 +170,7 @@ def lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
 _INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
 
 
+@clean_errors
 def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
     """GIF bytes -> ([(h, w, 4) RGBA frames on the logical screen],
     [per-frame delay in 10ms units])."""

@@ -41,6 +41,8 @@ import struct
 
 import numpy as np
 
+from ._codec_common import clean_errors
+
 # ---------------------------------------------------------------- tables
 
 # ITU-T T.81 Annex K.1 — luminance/chrominance quantization bases
@@ -439,6 +441,7 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) >= 3 and data[:3] == b"\xFF\xD8\xFF"
 
 
+@clean_errors
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JFIF bytes -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB."""
     if not is_jpeg(data):

@@ -29,6 +29,8 @@ import zlib
 
 import numpy as np
 
+from ._codec_common import clean_errors
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel
@@ -58,6 +60,7 @@ def _chunks(data: bytes):
     raise ValueError("missing IEND")
 
 
+@clean_errors
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8. Palette expands to RGB(A)."""
     if not is_png(data):

@@ -7,13 +7,13 @@ container (RIFF chunks + PCM samples) is fully decodable from the
 public Microsoft/IBM RIFF spec with no codec library.
 
 Scope: canonical RIFF/WAVE with a 'fmt ' chunk of format 1 (PCM,
-8/16/32-bit int), 3 (IEEE float32), 6 (A-law), 7 (mu-law), or 0x11
-(IMA ADPCM, mono/stereo, standard block layout) — the compressed
-telephony/voice formats decoded from their public G.711 / IMA tables.
-Any channel count and sample rate; unknown chunks are skipped.
-Remaining compressed formats (MS-ADPCM, MP3-in-WAV) raise
-NotImplementedError; corrupt input raises ValueError (same contract as
-the other codecs).
+8/16/32-bit int), 2 (MS-ADPCM), 3 (IEEE float32), 6 (A-law), 7
+(mu-law), or 0x11 (IMA ADPCM, mono/stereo, standard block layout) —
+the compressed telephony/voice formats decoded from their public
+G.711 / IMA / Microsoft tables. Any channel count and sample rate;
+unknown chunks are skipped. Remaining compressed formats (MP3-in-WAV)
+raise NotImplementedError; corrupt input raises ValueError (same
+contract as the other codecs).
 
 decode_wav -> (samples float64 in [-1, 1] shaped (n_frames, channels),
 sample_rate); encode_wav takes the same shape back to PCM16 bytes.
@@ -24,6 +24,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from ._codec_common import clean_errors
 
 _MAX_FRAMES = 256_000_000  # hostile-header allocation guard (~2 GB float64 mono)
 
@@ -252,6 +254,7 @@ def encode_wav_ima_adpcm(samples: np.ndarray, sample_rate: int = 8_000,
     return bytes(out)
 
 
+@clean_errors
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes -> (float64 samples in [-1, 1] shaped
     (n_frames, channels), sample_rate)."""

@@ -34,6 +34,8 @@ import struct
 
 import numpy as np
 
+from ._codec_common import clean_errors
+
 _MAX_PIXELS = 64_000_000
 
 # code-length-code symbol order (spec section on normal prefix codes)
@@ -424,6 +426,7 @@ def _apply_color_transform_inverse(img: np.ndarray, elems: np.ndarray,
             img[y, x, 3] = b
 
 
+@clean_errors
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes -> (h, w, 4) uint8 RGBA (lossless VP8L only)."""
     if not is_webp(data):
