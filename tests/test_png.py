@@ -159,9 +159,9 @@ def test_error_gating():
     assert is_png(good) and not is_png(b"JFIF" + good)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    with pytest.raises(NotImplementedError):  # interlaced
+    with pytest.raises(ValueError):  # interlace flag with wrong layout
         idat = zlib.compress(_filter_scanlines(img[:, :, None], 0))
-        decode_png(_build_png((4, 4, 8, 0, 0, 0, 1), [(b"IDAT", idat)]))
+        decode_png(_build_png((4, 4, 8, 0, 0, 0, 2), [(b"IDAT", idat)]))
     with pytest.raises(ValueError):  # corrupted chunk CRC
         bad = bytearray(good)
         bad[-5] ^= 0xFF
@@ -205,3 +205,88 @@ def test_hypothesis_roundtrip_random_shapes():
             ch = int(rng.choice([1, 3, 4]))
             img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
             assert (decode_png(encode_png(img)).reshape(img.shape) == img).all()
+
+
+def _adam7_passes(w, h):
+    return [(x0, y0, dx, dy) for x0, y0, dx, dy in
+            [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0]
+
+
+def test_adam7_interlaced_decode():
+    """Hand-interlace an RGB image into the 7-pass layout (filter 0
+    scanlines per pass) and decode; output must equal the original."""
+    img = _rng_img((11, 13, 3), seed=21)
+    h, w, ch = img.shape
+    stream = bytearray()
+    for x0, y0, dx, dy in _adam7_passes(w, h):
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        for y in range(ph):
+            stream += b"\x00" + sub[y].tobytes()
+    idat = zlib.compress(bytes(stream))
+    data = _build_png((w, h, 8, 2, 0, 0, 1), [(b"IDAT", idat)])
+    assert (decode_png(data) == img).all()
+
+
+def test_16bit_depth_high_byte():
+    """16-bit gray: decoder keeps the high byte of each big-endian
+    sample (standard 8-bit reduction)."""
+    hi = _rng_img((5, 7), seed=8)
+    lo = _rng_img((5, 7), seed=9)
+    rows = bytearray()
+    for y in range(5):
+        rows += b"\x00"
+        for x in range(7):
+            rows += bytes([hi[y, x], lo[y, x]])
+    data = _build_png((7, 5, 16, 0, 0, 0, 0),
+                      [(b"IDAT", zlib.compress(bytes(rows)))])
+    out = decode_png(data)
+    assert (out[:, :, 0] == hi).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_depths(depth):
+    """1/2/4-bit gray: MSB-first packed pixels scale to full range."""
+    import numpy as np
+
+    w, h = 10, 3
+    maxv = (1 << depth) - 1
+    vals = np.arange(w * h).reshape(h, w) % (maxv + 1)
+    per = 8 // depth
+    rows = bytearray()
+    for y in range(h):
+        rows += b"\x00"
+        for s in range(0, w, per):
+            byte = 0
+            chunk = vals[y, s:s + per]
+            for k, v in enumerate(chunk):
+                byte |= int(v) << (8 - depth * (k + 1))
+            rows += bytes([byte])
+    data = _build_png((w, h, depth, 0, 0, 0, 0),
+                      [(b"IDAT", zlib.compress(bytes(rows)))])
+    out = decode_png(data)
+    expect = (vals * 255 // maxv).astype("uint8")
+    assert (out[:, :, 0] == expect).all()
+
+
+def test_subbyte_palette():
+    """2-bit palette indices expand through PLTE without scaling."""
+    import numpy as np
+
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [7, 7, 7]],
+                   dtype="uint8")
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]], dtype="uint8")
+    rows = bytearray()
+    for y in range(2):
+        rows += b"\x00"
+        byte = 0
+        for k in range(4):
+            byte |= int(idx[y, k]) << (8 - 2 * (k + 1))
+        rows += bytes([byte, int(idx[y, 4]) << 6])
+    data = _build_png((5, 2, 2, 3, 0, 0, 0),
+                      [(b"PLTE", pal.tobytes()),
+                       (b"IDAT", zlib.compress(bytes(rows)))])
+    out = decode_png(data)
+    assert (out == pal[idx]).all()
