@@ -4,23 +4,29 @@ Images/audio/video are opaque `binary` columns with a typed metadata
 struct; everything Spark-side — schema, column pruning, partitioning,
 Arrow batch shapes, UDF signatures — is real and tested.
 
-Decode is REAL for PNG and JPEG payloads: `ops/png.py` is a
-from-scratch stdlib-zlib + numpy PNG decoder (chunk walk, inflate,
-per-scanline unfilter) and `ops/jpeg.py` a from-scratch baseline
-ITU-T T.81 codec (Huffman entropy decode, dequant, vectorized IDCT,
-chroma upsample), so `decode_features(assets, fake=False)` produces
-true pixel statistics for `image/png` and `image/jpeg` assets — no
-image library needed. Remaining media types (WebP, audio, video) stay
-codec-gated behind NotImplementedError (the container genuinely lacks
-those codecs); `fake=True` keeps the deterministic hash-stub decoder
-for them so the plumbing is testable end-to-end. Swap `_decode_one`'s
-gated branch for PIL/ffmpeg on a real cluster; nothing else changes.
+Decode is REAL for the whole stock crawl-media matrix, each codec
+built from its public spec with stdlib + numpy only:
+
+  images  PNG (ops/png.py — full baseline incl. Adam7/16-bit/sub-byte),
+          JPEG (ops/jpeg.py — baseline T.81, LUT Huffman), GIF
+          (ops/gif.py — LZW, interlace, animation), BMP (ops/bmp.py),
+          WebP-lossless (ops/webp.py — full VP8L), TIFF (ops/tiff.py —
+          none/LZW/PackBits, both endians)
+  audio   WAV (ops/wav.py — PCM/float32/G.711 mu+A-law/IMA+MS ADPCM)
+  video   MJPEG-in-AVI (ops/avi.py) and animated GIF, both feeding
+          frame_sample with true per-frame stats
+
+`decode_features(assets, fake=False)` therefore produces true pixel
+statistics with no image library. The only remaining gated media
+(lossy-VP8 WebP, MP3, CCITT/JPEG-in-TIFF) need spec constant tables
+not reproducible offline; `fake=True` keeps the deterministic
+hash-stub decoder for those so the plumbing stays testable
+end-to-end. Swap `_decode_one` for PIL/ffmpeg on a real cluster;
+nothing else changes.
 
 Asset sources in this repo: the pages table's `html` binary column
-(one `text/html` asset per page), `synth_png_assets` (one real
-`image/png` asset per page, encoded with ops/png.encode_png), and
-`synth_jpeg_assets` (one real `image/jpeg` asset per page, encoded
-with ops/jpeg.encode_jpeg at per-url quality/subsampling/restart).
+plus per-url deterministic synth_{png,jpeg,webp,gif,wav,avi}_assets
+generators (each encoded with the matching from-scratch encoder).
 """
 
 from __future__ import annotations
@@ -262,7 +268,7 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     testable end-to-end); fake=False raises — those codecs are
     genuinely absent in this container.
     """
-    from . import bmp, gif, jpeg, png, webp
+    from . import bmp, gif, jpeg, png, tiff, webp
 
     img = None
     if png.is_png(payload):
@@ -278,6 +284,8 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         img = bmp.decode_bmp(payload).astype(np.float64)
     elif webp.is_webp(payload):
         img = webp.decode_webp(payload)[:, :, :3].astype(np.float64)
+    elif tiff.is_tiff(payload):
+        img = tiff.decode_tiff(payload).astype(np.float64)
     if img is not None:
         h, w, ch = img.shape
         if ch in (1, 2):  # gray / gray+alpha
@@ -288,7 +296,7 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         return h, w, luma
     if not fake:
         raise NotImplementedError(
-            "media decode beyond PNG/JPEG/GIF/BMP requires a codec "
+            "media decode beyond PNG/JPEG/GIF/BMP/WebP/TIFF requires a codec "
             "(PIL/ffmpeg) not present in this environment; pass fake=True "
             "for the deterministic stub")
     digest = hashlib.sha256(payload).digest()

@@ -16,6 +16,7 @@ from openair_spark.ops.bmp import decode_bmp, encode_bmp
 from openair_spark.ops.gif import decode_gif, encode_gif
 from openair_spark.ops.jpeg import decode_jpeg, encode_jpeg
 from openair_spark.ops.png import decode_png, encode_png
+from openair_spark.ops.tiff import decode_tiff, encode_tiff
 from openair_spark.ops.wav import decode_wav, encode_wav
 from openair_spark.ops.webp import decode_webp, encode_webp
 
@@ -30,6 +31,7 @@ _CODECS = {
     "bmp": (encode_bmp(_IMG), decode_bmp),
     "webp": (encode_webp(_IMG), decode_webp),
     "wav": (encode_wav(_RNG.uniform(-1, 1, 400), 8000), decode_wav),
+    "tiff": (encode_tiff(_IMG, "lzw"), decode_tiff),
     "avi": (encode_mjpeg_avi([_IMG, _IMG[::-1]], fps=5), decode_mjpeg_avi),
 }
 
