@@ -268,7 +268,19 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     testable end-to-end); fake=False raises — those codecs are
     genuinely absent in this container.
     """
-    from . import bmp, gif, jpeg, png, tiff, webp
+    from . import bmp, gif, ico, jpeg, png, tiff, webp
+
+    # transparent gzip unwrap (WARC payloads arrive as gzip members):
+    # sniff, bound the expansion, then decode the inner bytes
+    if payload[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            payload = gzip.decompress(payload)
+        except OSError as exc:
+            raise ValueError(f"corrupt gzip payload: {exc}") from exc
+        if len(payload) > 512 * 1024 * 1024:
+            raise ValueError("gzip payload expands beyond 512 MB cap")
 
     img = None
     if png.is_png(payload):
@@ -286,6 +298,8 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         img = webp.decode_webp(payload)[:, :, :3].astype(np.float64)
     elif tiff.is_tiff(payload):
         img = tiff.decode_tiff(payload).astype(np.float64)
+    elif ico.is_ico(payload):
+        img = ico.decode_ico(payload)[0][:, :, :3].astype(np.float64)
     if img is not None:
         h, w, ch = img.shape
         if ch in (1, 2):  # gray / gray+alpha

@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 from openair_spark.ops.avi import decode_mjpeg_avi, encode_mjpeg_avi
 from openair_spark.ops.bmp import decode_bmp, encode_bmp
 from openair_spark.ops.gif import decode_gif, encode_gif
+from openair_spark.ops.ico import decode_ico, encode_ico
 from openair_spark.ops.jpeg import decode_jpeg, encode_jpeg
 from openair_spark.ops.png import decode_png, encode_png
 from openair_spark.ops.tiff import decode_tiff, encode_tiff
@@ -32,6 +33,7 @@ _CODECS = {
     "webp": (encode_webp(_IMG), decode_webp),
     "wav": (encode_wav(_RNG.uniform(-1, 1, 400), 8000), decode_wav),
     "tiff": (encode_tiff(_IMG, "lzw"), decode_tiff),
+    "ico": (encode_ico([_IMG[:8, :8]]), decode_ico),
     "avi": (encode_mjpeg_avi([_IMG, _IMG[::-1]], fps=5), decode_mjpeg_avi),
 }
 
