@@ -1256,3 +1256,45 @@ def paragraph_dedup(docs: "DataFrame", delimiter: str = r"\.\s+",
                  F.when(F.col("keep"), F.struct("pos", "para")))).para)
              .alias("text_clean"))
     )
+
+
+def canonicalize_urls(pages: "DataFrame", url_col: str = "url") -> "DataFrame":
+    """URL canonicalization — the first dedup stage of a crawl pipeline
+    (the same page is fetched as http/https, with/without fragment,
+    with tracking params, trailing slashes, mixed-case hosts...).
+
+    Pure JVM expressions (regexp_replace chain, no Python): lowercase
+    scheme+host, drop the fragment, strip default ports, drop utm_* /
+    fbclid / gclid tracking params (then a dangling '?'/'&'), and trim
+    one trailing slash from non-root paths. Adds `url_canon`; dedup is
+    then a plain groupBy on it.
+
+    Returns pages + (url_canon string).
+    """
+    c = F.col(url_col)
+    # lowercase scheme://host (up to the first '/' after '//')
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)),
+        F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
+    c = F.regexp_replace(c, r"#.*$", "")                       # fragment
+    c = F.regexp_replace(c, r"^(https?://[^/:]+):(80|443)(/|$)", r"$1$3")
+    c = F.regexp_replace(c, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", r"$1")
+    c = F.regexp_replace(c, r"[?&]+$", "")                     # dangling sep
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"&&+", "&")
+    # trailing slash of a non-root PATH, before query or at end
+    c = F.regexp_replace(c, r"([^/])/\?", r"$1?")
+    c = F.regexp_replace(c, r"^(\w+://[^/]+/.+[^/])/$", r"$1")
+    return pages.withColumn("url_canon", c)
+
+
+def dedup_by_canonical_url(pages: "DataFrame", url_col: str = "url") -> "DataFrame":
+    """Keep one row per canonical URL (min original url as the
+    deterministic keeper) — one hash groupBy, the standard pre-text
+    dedup pass at crawl scale."""
+    canon = canonicalize_urls(pages, url_col)
+    return (
+        canon.groupBy("url_canon")
+        .agg(F.count("*").alias("n_variants"),
+             F.min(url_col).alias("keeper_url"))
+    )

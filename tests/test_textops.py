@@ -196,3 +196,35 @@ def test_paragraph_dedup_removes_corpus_boilerplate(spark):
         assert out[i]["text_clean"] == (f"unique content number {i} here. "
                                         f"closing line {i}")
         assert out[i]["n_paragraphs"] == 3 and out[i]["n_kept"] == 2
+
+
+def test_url_canonicalization_and_dedup(spark):
+    """Scheme/host case, fragments, default ports, tracking params, and
+    trailing slashes all collapse; distinct resources stay distinct."""
+    from openair_spark.queries.textops import (
+        canonicalize_urls,
+        dedup_by_canonical_url,
+    )
+
+    urls = [
+        "HTTP://Example.COM:80/a/b?x=1&utm_source=tw#frag",
+        "http://example.com/a/b?x=1",
+        "http://example.com/a/b/?x=1&fbclid=zzz",
+        "https://example.com/a/b?x=1",      # different scheme -> distinct
+        "http://example.com/a/c",           # different path -> distinct
+        "https://Other.ORG:443/",
+        "https://other.org/",
+    ]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    canon = {r["url"]: r["url_canon"]
+             for r in canonicalize_urls(pages).collect()}
+    assert canon[urls[0]] == "http://example.com/a/b?x=1"
+    assert canon[urls[1]] == "http://example.com/a/b?x=1"
+    assert canon[urls[2]] == "http://example.com/a/b?x=1"
+    assert canon[urls[3]] == "https://example.com/a/b?x=1"
+    assert canon[urls[5]] == canon[urls[6]] == "https://other.org/"
+
+    out = {r["url_canon"]: r for r in dedup_by_canonical_url(pages).collect()}
+    assert out["http://example.com/a/b?x=1"]["n_variants"] == 3
+    assert out["https://other.org/"]["n_variants"] == 2
+    assert len(out) == 4
