@@ -122,17 +122,21 @@ def proper_crossings(hx1, hy1, hx2, hy2, crow, seg, rs: RingSet,
 
 def corner_split(hx1, hy1, partial: np.ndarray, owner: np.ndarray,
                  rings: list, nv: int):
-    """(all_in, any_in) for cells not already PARTIAL. Corner 0 decides
-    OUTSIDE; corner-0-inside cells verify FULL against the remaining
-    corners. This is SAFE (not just measure-zero-safe) because
-    proper_crossings now counts touching contact: a mixed-corner cell
-    with no flagged contact cannot exist — the boundary would have to
-    enter the interior through a ring vertex exactly on a cell edge,
-    which the exact touch test flags as a crossing (see the
-    proper_crossings docstring for the argument; ADVICE r4 resolved
-    there at zero extra ray-cast cost instead of testing all nv corners
-    here, which measured ~2.3x on the s2_cover leg). Grouped per-owner
-    2D ray casts — ~2x the CSR RingSet path at cover batch sizes."""
+    """(all_in, any_in) for cells not already PARTIAL. Corner 0 alone
+    decides: proper_crossings counts touching contact, so a non-partial
+    cell's boundary has NO contact with the ring boundary and no ring
+    vertex sits inside the cell — a connected ring path cannot reach
+    the cell interior without crossing (or touching) a cell edge, hence
+    the whole cell lies on one side of the ring and every corner shares
+    corner 0's parity (see the proper_crossings docstring for why
+    vertex-through-edge contact is flagged too; ADVICE r4). The former
+    remaining-corner verification was therefore pure redundancy — it
+    re-ray-cast (nv-1) corners per inside cell for a bit that corner 0
+    already determined (round-6 kernel profile: ~10% of the whole cover
+    leg) — and is removed; equality of the resulting covers over the
+    full bench corpus is asserted by tests/test_properties.py.
+    Grouped per-owner 2D ray casts — ~2x the CSR RingSet path at cover
+    batch sizes."""
     m = len(partial)
     rows = np.nonzero(~partial)[0]
     all_in = np.zeros(m, dtype=bool)
@@ -145,15 +149,6 @@ def corner_split(hx1, hy1, partial: np.ndarray, owner: np.ndarray,
             c0[mg] = points_in_ring(hx1[rows[mg], 0], hy1[rows[mg], 0],
                                     rings[ov])
         in_rows = rows[c0]
-        if len(in_rows):
-            oin = owner[in_rows]
-            rest = np.zeros((len(in_rows), nv - 1), dtype=bool)
-            for ov in np.unique(oin):
-                mg = oin == ov
-                rest[mg] = points_in_ring(
-                    hx1[in_rows[mg], 1:].ravel(),
-                    hy1[in_rows[mg], 1:].ravel(),
-                    rings[ov]).reshape(-1, nv - 1)
-            all_in[in_rows] = rest.all(axis=1)
-            any_in[in_rows] = True
+        all_in[in_rows] = True
+        any_in[in_rows] = True
     return all_in, any_in
