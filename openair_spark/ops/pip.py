@@ -33,7 +33,14 @@ from ..index import quadkey
 from ..index.cover import compact_cover
 from ..index.pip import RingSet, points_in_ring
 
-MIN_RES = 5
+# Cover band for the PIP probe index. min 7 (not the tile mandate's 5):
+# every cover resolution in the index adds one exploded probe row PER
+# POINT, so coarse FULL cells of a few mega-polygons taxed every point
+# with res-5/6 probes (10M probe rows for 2M points). At min 7 the probe
+# side is 3 rows/point and the mega-polygon interior just compacts to
+# res-7 FULL cells instead (hit sets identical — the cover res band is
+# an internal knob of the candidate join, not part of the result).
+MIN_RES = 7
 MAX_RES = 9
 
 
@@ -102,6 +109,82 @@ def _point_cells_expr(lat_col: str, lon_col: str, cover_resolutions: list[int]):
 
 CELL_INDEX_SCHEMA = ("cell long, polygon_id string, is_full boolean, "
                      "west double, south double, east double, north double")
+
+_SETUP_SCHEMA = ("polygon_id string, kind int, a long, b int, "
+                 "x1 double, y1 double, x2 double, y2 double")
+
+
+def _polygon_setup(polygons: DataFrame, min_res: int, max_res: int) -> DataFrame:
+    """One executor pass emitting BOTH broadcast-route inputs: cover
+    index rows (kind=0: a=cell, b=is_full, x1..y2=bbox) and ring edge
+    rows (kind=1: a=edge_idx, x1,y1,x2,y2=edge). The previous shape ran
+    collect_ring_set (JVM explode) and polygon_cell_index (Arrow cover
+    kernel) as two separate jobs over the persisted polygon side; one
+    combined scan halves the setup job count the bench pays per call."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in _SETUP_SCHEMA.split(", ")]
+        for pdf in batches:
+            frames = []
+            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
+                arr = np.asarray([list(p) for p in ring], dtype=np.float64)
+                w, s = float(arr[:, 0].min()), float(arr[:, 1].min())
+                e, n = float(arr[:, 0].max()), float(arr[:, 1].max())
+                cover = compact_cover(arr, min_res=min_res, max_res=max_res)
+                ne = len(arr) - 1
+                frames.append(pd.DataFrame({
+                    "polygon_id": pid,
+                    "kind": np.concatenate([np.zeros(len(cover), dtype=np.int32),
+                                            np.ones(ne, dtype=np.int32)]),
+                    "a": np.concatenate([
+                        np.asarray([c for c, _ in cover], dtype=np.int64),
+                        np.arange(ne, dtype=np.int64)]),
+                    "b": np.concatenate([
+                        np.asarray([1 if f else 0 for _, f in cover],
+                                   dtype=np.int32),
+                        np.zeros(ne, dtype=np.int32)]),
+                    "x1": np.concatenate([np.full(len(cover), w), arr[:-1, 0]]),
+                    "y1": np.concatenate([np.full(len(cover), s), arr[:-1, 1]]),
+                    "x2": np.concatenate([np.full(len(cover), e), arr[1:, 0]]),
+                    "y2": np.concatenate([np.full(len(cover), n), arr[1:, 1]]),
+                }))
+            yield (pd.concat(frames, ignore_index=True)[cols] if frames
+                   else pd.DataFrame(columns=cols))
+
+    return polygons.select("polygon_id", "ring").mapInPandas(
+        kernel, _SETUP_SCHEMA)
+
+
+def _split_setup(pdf: "pd.DataFrame") -> tuple[RingSet, "pd.DataFrame"]:
+    """Driver-side split of the _polygon_setup output into the RingSet
+    (CSR edge arrays, same layout as collect_ring_set) and the cover
+    index frame (same columns as polygon_cell_index + polygon_idx)."""
+    edges = pdf[pdf["kind"] == 1]
+    rs = RingSet({})
+    if len(edges):
+        edges = edges.sort_values(["polygon_id", "a"], kind="stable")
+        pid_arr = edges["polygon_id"].to_numpy()
+        bounds = np.flatnonzero(
+            np.concatenate([[True], pid_arr[1:] != pid_arr[:-1]]))
+        counts = np.diff(np.concatenate([bounds, [len(pid_arr)]]))
+        rs.ids = [pid_arr[b] for b in bounds]
+        rs.idx_of = {pid: i for i, pid in enumerate(rs.ids)}
+        rs.x1 = edges["x1"].to_numpy(dtype=np.float64)
+        rs.y1 = edges["y1"].to_numpy(dtype=np.float64)
+        rs.x2 = edges["x2"].to_numpy(dtype=np.float64)
+        rs.y2 = edges["y2"].to_numpy(dtype=np.float64)
+        rs.lens = counts.astype(np.int64)
+        rs.starts = bounds.astype(np.int64)
+    cov = pdf[pdf["kind"] == 0]
+    index_pdf = pd.DataFrame({
+        "cell": cov["a"].to_numpy(dtype=np.int64),
+        "polygon_idx": cov["polygon_id"].map(rs.idx_of).to_numpy(
+            dtype=np.int32) if len(cov) else np.empty(0, dtype=np.int32),
+        "is_full": cov["b"].to_numpy(dtype=bool),
+        "west": cov["x1"].to_numpy(), "south": cov["y1"].to_numpy(),
+        "east": cov["x2"].to_numpy(), "north": cov["y2"].to_numpy(),
+    })
+    return rs, index_pdf
 
 
 def polygon_cell_index(polygons: DataFrame, min_res: int = MIN_RES,
@@ -183,13 +266,17 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
             hits = pip_join_shuffle(points, cells, lat_col=lat_col,
                                     lon_col=lon_col, res=7)
             return hits.drop("cell")
-        ring_set = collect_ring_set(polys_persisted)  # action fills the persist
-        index_pdf = polygon_cell_index(polys_persisted, min_res, max_res).toPandas()
+        # one combined scan yields the ring edges AND the cover index
+        # (was two jobs: collect_ring_set + polygon_cell_index)
+        ring_set, index_pdf = _split_setup(
+            _polygon_setup(polys_persisted, min_res, max_res).toPandas())
         polys_persisted.unpersist()
     else:
         ring_set = RingSet({p["polygon_id"]: np.asarray(p["ring"], dtype=np.float64)
                             for p in polygons})
-        index_pdf = build_cell_index(polygons, min_res, max_res)
+        index_pdf = build_cell_index(polygons, min_res, max_res).assign(
+            polygon_idx=lambda d: d["polygon_id"].map(ring_set.idx_of).astype(
+                "int32"))
     LAST_ROUTE = "broadcast"
 
     # rings travel ONCE as a broadcast variable (unpickled once per
@@ -209,9 +296,8 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
     dim = spark.createDataFrame(
         [(i, pid) for i, pid in enumerate(ring_set.ids)],
         "polygon_idx int, polygon_id string")
-    index_pdf = index_pdf.assign(
-        polygon_idx=index_pdf["polygon_id"].map(ring_set.idx_of).astype("int32")
-    )[["cell", "polygon_idx", "is_full", "west", "south", "east", "north"]]
+    index_pdf = index_pdf[
+        ["cell", "polygon_idx", "is_full", "west", "south", "east", "north"]]
     index_small = spark.createDataFrame(
         index_pdf,
         "cell long, polygon_idx int, is_full boolean, "
@@ -250,21 +336,33 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
         for f in candidates.schema.fields if f.name in out_fields
     )
 
-    def exact_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow, not mapInPandas: at millions of candidate rows the
+    # pandas DataFrame materialization (index + block manager + object
+    # boxing) on both sides of the boundary was ~half the kernel-stage
+    # cost; Arrow batches expose the numeric columns as zero-copy numpy
+    # views and the survivor filter runs as one C++ compute kernel.
+    def exact_kernel(batches):
+        import pyarrow as pa
+
         rs: RingSet = rings_b.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            pdf = pdf.reset_index(drop=True)
-            keep = pdf["is_full"].to_numpy(dtype=bool).copy()
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            keep = cols["is_full"].to_numpy(zero_copy_only=False).astype(
+                bool, copy=True)
             part = np.flatnonzero(~keep)
             if len(part):
-                ridx = pdf["polygon_idx"].to_numpy(dtype=np.int64)[part]
+                ridx = cols["polygon_idx"].to_numpy().astype(np.int64)[part]
                 keep[part] = rs.contains(
-                    pdf[lon_col].to_numpy()[part], pdf[lat_col].to_numpy()[part], ridx)
-            yield pdf.loc[keep, out_fields]
+                    cols[lon_col].to_numpy(zero_copy_only=False)[part],
+                    cols[lat_col].to_numpy(zero_copy_only=False)[part], ridx)
+            flt = rb.filter(pa.array(keep))
+            yield pa.RecordBatch.from_arrays(
+                [flt.column(flt.schema.get_field_index(n)) for n in out_fields],
+                names=out_fields)
 
-    hits = candidates.mapInPandas(exact_kernel, schema)
+    hits = candidates.mapInArrow(exact_kernel, schema)
     return hits.join(F.broadcast(dim), "polygon_idx").drop("polygon_idx")
 
 

@@ -155,34 +155,41 @@ _BAND_SIZE = 2  # -> 4 bands
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding. Shingles build row-locally (shuffle-free,
-    see _spark_shingles); the md5 evaluation itself runs on EXPLODED
-    (shingle, h) rows — a fully array-local formulation was tried and
-    regressed ~3x because nested higher-order functions
-    (array_min(transform(...)) inside transform) drop out of
-    whole-stage codegen into interpreted evaluation, while the exploded
-    md5 stays codegen'd. The two aggregations shuffle only
-    (doc, h)-sized data (8 rows/doc after the first min). Signatures
-    and oracle unchanged."""
+    see _spark_shingles); each shingle row evaluates its 8 md5s as 8
+    codegen'd COLUMNS feeding one min-aggregation per hash — no
+    explode x8 row blowup and ONE groupBy(doc_id) shuffle where the
+    round-5 plan had two ((doc, h) min then (doc, band) collect_list).
+    The band signature assembles row-locally: within a band the
+    "h:minhash" entries sort lexicographically by the single-digit h
+    (h < 10), so array_sort(collect_list(...)) reduces to simple
+    h-ordered concatenation. A fully array-local formulation (no
+    explode at all) was tried in round 4 and regressed ~3x — nested
+    higher-order functions drop out of whole-stage codegen — but plain
+    md5 columns on exploded shingle rows stay codegen'd. Signatures,
+    results and oracle unchanged."""
     docs = load(spark, sf_dir, "documents")
     # the documents table is a few small parquet files -> 1-2 scan
     # partitions; spread the md5-heavy shingle hashing across the
     # cluster before the fold (values unaffected)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     shingles = _spark_shingles(docs)
-    hashed = shingles.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("h"),
-        "shingle",
-    ).select(
-        "doc_id", "h",
-        F.md5(F.concat_ws("|", F.col("h").cast("string"), "shingle")).alias("hval"),
-    )
-    sig = hashed.groupBy("doc_id", "h").agg(F.min("hval").alias("minhash"))
+    sig = shingles.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(
+            "|", F.lit(str(h)), "shingle"))).alias(f"m{h}")
+        for h in range(_N_MINHASH)
+    ])
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[
+                F.concat_ws(":", F.lit(str(h)), f"m{h}")
+                for h in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)
+            ]).alias("band_sig"))
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    ]
     bands = (
-        sig.withColumn("band", (F.col("h") / _BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("h").cast("string"), "minhash")))).alias("band_sig"))
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+        .select("doc_id", "bs.band", "bs.band_sig")
         # both sides of the self-join would re-execute the whole
         # shingle+md5 lineage (Catalyst does not dedup join branches);
         # the band table is tiny (bands-per-doc rows), so materialize it
@@ -645,6 +652,23 @@ def _spark_lsh_bits(spark, sf_dir):
         "bit", F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(0)))
 
 
+def _spark_lsh_bits_array(spark, sf_dir):
+    """Row-local variant of _spark_lsh_bits: (vec_id, bits array<int>)
+    with bits[j] the sign bit of plane j — same literal-folded dots and
+    6-dp round, no (vec, j) explode. Consumers that need per-row band
+    keys or buckets derive them with array indexing inside the same
+    codegen stage instead of re-aggregating exploded rows."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    lit = _plane_weight_literal(_N_PLANES)
+    return emb.select("vec_id", F.expr(
+        f"transform(sequence(0, {_N_PLANES - 1}), j -> IF(round(aggregate("
+        f"sequence(0, size(v) - 1), CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + v[d] * {lit}[j][d]), 6) >= 0, 1, 0))"
+        ).alias("bits"))
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     bits = _spark_lsh_bits(spark, sf_dir)
     return (
@@ -693,13 +717,24 @@ def q_ann_bucket_join(spark, sf_dir):
     1-(1-p^2)^4 keeps recall high where single-bucket 8-bit agreement
     (p^8) would not.
     """
-    bits = _spark_lsh_bits(spark, sf_dir)
+    # band keys assemble ROW-LOCALLY from the per-plane sign bits (the
+    # round-5 plan exploded to (vec, j) rows and re-aggregated them by
+    # (vec, band) — a full shuffle to regroup values that never left
+    # their row): bkey for band b is bit(2b) + 2*bit(2b+1), exactly the
+    # old sum(shiftleft(bit, j % 2)) per band, emitted as 4 struct rows
+    # per vector with no exchange before the self-join.
+    bits_arr = _spark_lsh_bits_array(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr("CAST(" + " + ".join(
+                f"shiftleft(CAST(bits[{b * _LSH_BAND_PLANES + i}] AS BIGINT), {i})"
+                for i in range(_LSH_BAND_PLANES)) + " AS BIGINT)").alias("bkey"))
+        for b in range(_N_PLANES // _LSH_BAND_PLANES)
+    ]
     bands = (
-        bits.withColumn("band", (F.col("j") / _LSH_BAND_PLANES).cast("int"))
-        .withColumn("bitval", F.expr(
-            f"shiftleft(CAST(bit AS BIGINT), CAST(j % {_LSH_BAND_PLANES} AS INT))"))
-        .groupBy("vec_id", "band")
-        .agg(F.sum("bitval").alias("bkey"))
+        bits_arr.select("vec_id", F.explode(F.array(*band_structs)).alias("bs"))
+        .select("vec_id", "bs.band", "bs.bkey")
         # materialize once: the self-join would otherwise evaluate the
         # per-plane dot folds twice (GC-scoped, tiny table)
         .localCheckpoint(eager=True)
