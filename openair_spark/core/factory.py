@@ -19,8 +19,8 @@ from . import tokenizer as tk
 from .buffer import buffer_line_km
 from .config import VERSION_2, ParserConfig
 from .errors import ParserError
-from .geo import bearing, circle_ring, destination, distance_km
-from .jsnum import js_to_fixed
+from .geo import EARTH_RADIUS_KM, bearing, circle_ring, destination, distance_km
+from .jsnum import js_to_fixed, js_to_fixed_array
 
 
 @dataclass
@@ -39,9 +39,16 @@ class Airspace:
 
     def add_coordinates(self, coords) -> None:
         """6-decimal rounding on every computed coordinate
-        (reference src/airspace.ts:80-87)."""
-        for c in coords:
-            self.coordinates.append([js_to_fixed(float(c[0]), 6), js_to_fixed(float(c[1]), 6)])
+        (reference src/airspace.ts:80-87). Bulk inputs (tessellated
+        circles/arcs) round vectorized; short ones stay scalar."""
+        if len(coords) > 8:
+            arr = js_to_fixed_array(
+                np.asarray([[float(c[0]), float(c[1])] for c in coords]), 6)
+            self.coordinates.extend(arr.tolist())
+        else:
+            for c in coords:
+                self.coordinates.append(
+                    [js_to_fixed(float(c[0]), 6), js_to_fixed(float(c[1]), 6)])
 
 
 def validate_token_order(tokens: list, version: str) -> None:
@@ -138,13 +145,36 @@ def _remove_nearest_coordinates(coords: np.ndarray, min_allowed_distance_m: floa
     arr = np.asarray(coords, dtype=np.float64)
     kept: list = []
     if len(arr) <= 2048:
-        dmat = distance_km(arr[:, None, :], arr[None, :, :])
-        kept_mask = np.zeros(len(arr), dtype=bool)
-        dup = dmat <= buffer_km
-        for i, c in enumerate(arr):
-            if not bool((dup[:, i] & kept_mask).any()):
-                kept.append([float(c[0]), float(c[1])])
-                kept_mask[i] = True
+        # haversine(p, q) >= R * |dlat| exactly (a >= sin^2(dlat/2)),
+        # so pairs outside the latitude band provably exceed the buffer
+        # and skip the trig: the dense n^2 haversine matrix (345 calls
+        # x ~360-point tessellated rings per 1k bench pages) was the
+        # parse kernel's single hottest line. The 1.001 slack swallows
+        # the radians(a)-radians(b) vs radians(a-b) rounding gap.
+        n_pts = len(arr)
+        latr = np.radians(arr[:, 1])
+        band = buffer_km / EARTH_RADIUS_KM * 1.001 + 1e-12
+        cand = np.abs(latr[:, None] - latr[None, :]) <= band
+        np.fill_diagonal(cand, False)
+        dup = np.zeros((n_pts, n_pts), dtype=bool)
+        ii, jj = np.nonzero(cand)
+        if len(ii):
+            dup[ii, jj] = distance_km(arr[ii], arr[jj]) <= buffer_km
+        # common case (tessellated rings whose spacing exceeds the
+        # buffer): no off-diagonal pair is close, the greedy scan keeps
+        # everything — skip the per-point python loop entirely. Points
+        # with no close neighbor at all can never be dropped NOR drop
+        # anyone, so the sequential scan only needs the involved subset.
+        involved = np.flatnonzero(dup.any(axis=0))
+        keep_mask = np.ones(len(arr), dtype=bool)
+        if len(involved):
+            sub = dup[np.ix_(involved, involved)]
+            kept_sub = np.zeros(len(involved), dtype=bool)
+            for i in range(len(involved)):
+                if not bool((sub[:, i] & kept_sub).any()):
+                    kept_sub[i] = True
+            keep_mask[involved] = kept_sub
+        kept = [[float(c[0]), float(c[1])] for c in arr[keep_mask]]
     else:
         # huge geometry_detail: avoid the O(n^2) matrix inside a worker;
         # test each candidate against the kept prefix (same elementwise
