@@ -60,19 +60,33 @@ def classify_cells(cells: np.ndarray, ring: np.ndarray) -> np.ndarray:
     x1, y1 = vx[:-1], vy[:-1]
     x2, y2 = vx[1:], vy[1:]
     crossing = np.zeros(m, dtype=bool)
-    for ax, ay, bx, by in (
-        (west, south, east, south), (east, south, east, north),
-        (east, north, west, north), (west, north, west, south),
-    ):
-        dxs = (bx - ax)[:, None]
-        dys = (by - ay)[:, None]
-        d1 = dxs * (y1[None, :] - ay[:, None]) - dys * (x1[None, :] - ax[:, None])
-        d2 = dxs * (y2[None, :] - ay[:, None]) - dys * (x2[None, :] - ax[:, None])
-        d3 = (x2 - x1)[None, :] * (ay[:, None] - y1[None, :]) \
-            - (y2 - y1)[None, :] * (ax[:, None] - x1[None, :])
-        d4 = (x2 - x1)[None, :] * (by[:, None] - y1[None, :]) \
-            - (y2 - y1)[None, :] * (bx[:, None] - x1[None, :])
-        crossing |= ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=1)
+    # a STRICT crossing of a cell edge implies the intersection point
+    # lies in both closed bboxes, so restricting the 4-edge orientation
+    # tests to bbox-overlapping (cell, segment) pairs is exact — and
+    # turns the previous 16-orientation dense (m, n) evaluation into a
+    # cheap 4-comparison mask plus elementwise tests on the few
+    # surviving pairs (the cover classifier's hottest lines).
+    sxmin, sxmax = np.minimum(x1, x2), np.maximum(x1, x2)
+    symin, symax = np.minimum(y1, y2), np.maximum(y1, y2)
+    overlap = ((sxmin[None, :] <= east[:, None]) & (sxmax[None, :] >= west[:, None])
+               & (symin[None, :] <= north[:, None]) & (symax[None, :] >= south[:, None]))
+    ci, sj = np.nonzero(overlap)
+    if len(ci):
+        px1, py1, px2, py2 = x1[sj], y1[sj], x2[sj], y2[sj]
+        pdx, pdy = px2 - px1, py2 - py1
+        hit = np.zeros(len(ci), dtype=bool)
+        for ax, ay, bx, by in (
+            (west, south, east, south), (east, south, east, north),
+            (east, north, west, north), (west, north, west, south),
+        ):
+            eax, eay, ebx, eby = ax[ci], ay[ci], bx[ci], by[ci]
+            edx, edy = ebx - eax, eby - eay
+            d1 = edx * (py1 - eay) - edy * (px1 - eax)
+            d2 = edx * (py2 - eay) - edy * (px2 - eax)
+            d3 = pdx * (eay - py1) - pdy * (eax - px1)
+            d4 = pdx * (eby - py1) - pdy * (ebx - px1)
+            hit |= (d1 * d2 < 0) & (d3 * d4 < 0)
+        crossing[ci[hit]] = True
     boundary = vert_in | crossing
 
     corners_x = np.concatenate([west, east, east, west])
