@@ -1208,6 +1208,54 @@ SELECT vec_a, vec_b, sim, rk FROM (
 """
 
 
+# ------------------------------------------ canonical-URL dedup (driver)
+# Promoted to the driver record in round 6 (VERDICT r5 ask #1, replacing
+# the redundant spark_native_blocks slot): the testdata tables carry no
+# URL column, so both engines synthesize the SAME deterministic URL
+# variants from doc_id (scheme/host case, default port, tracking params,
+# trailing slash, fragment) and the Spark side then runs the REAL
+# canonicalize_urls operator (pure JVM regexp chain) + one hash groupBy.
+
+_SYNTH_URL_SQL = """concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END,
+  CASE WHEN doc_id % 3 = 0 THEN 'Docs.Example.COM' ELSE 'docs.example.com' END,
+  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+  '/corpus/', CAST(doc_id % 300 AS {str_t}),
+  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 11 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END,
+  CASE WHEN doc_id % 13 = 0 THEN '#section-2' ELSE '' END)"""
+
+
+def q_dedup_canonical_url(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.selectExpr(
+        "doc_id", _SYNTH_URL_SQL.format(str_t="STRING") + " AS url")
+    return dedup_by_canonical_url(pages, "url")
+
+
+SQL_DEDUP_CANONICAL_URL = f"""
+WITH urls AS (
+  SELECT doc_id, {_SYNTH_URL_SQL.format(str_t="VARCHAR")} AS url FROM documents
+),
+s0 AS (
+  SELECT url, concat(
+           lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
+           regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')) AS c
+  FROM urls
+),
+s1 AS (SELECT url, regexp_replace(c, '#.*$', '') AS c FROM s0),
+s2 AS (SELECT url, regexp_replace(c, '^(https?://[^/:]+):(80|443)(/|$)', '\\1\\3') AS c FROM s1),
+s3 AS (SELECT url, regexp_replace(c, '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1', 'g') AS c FROM s2),
+s4 AS (SELECT url, regexp_replace(c, '[?&]+$', '') AS c FROM s3),
+s5 AS (SELECT url, regexp_replace(c, '\\?&', '?', 'g') AS c FROM s4),
+s6 AS (SELECT url, regexp_replace(c, '&&+', '&', 'g') AS c FROM s5),
+s7 AS (SELECT url, regexp_replace(c, '([^/])/\\?', '\\1?', 'g') AS c FROM s6),
+s8 AS (SELECT url, regexp_replace(c, '^(\\w+://[^/]+/.+[^/])/$', '\\1') AS c FROM s7)
+SELECT c AS url_canon, count(*) AS n_variants, min(url) AS keeper_url
+FROM s8 GROUP BY 1
+"""
+
+
 CATALOG = {
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1229,6 +1277,8 @@ CATALOG = {
     "embedding_cosine_neardup": QueryDef(q_embedding_cosine_neardup, SQL_EMBEDDING_COSINE_NEARDUP),
     "ann_ivf_assign": QueryDef(q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
     "ann_ivf_search": QueryDef(q_ann_ivf_search, SQL_ANN_IVF_SEARCH),
+    "dedup_canonical_url": QueryDef(q_dedup_canonical_url,
+                                    SQL_DEDUP_CANONICAL_URL),
 }
 
 
