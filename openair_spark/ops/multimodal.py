@@ -274,12 +274,18 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     # sniff, bound the expansion, then decode the inner bytes
     if payload[:2] == b"\x1f\x8b":
         import gzip
+        import io
 
+        cap = 512 * 1024 * 1024
         try:
-            payload = gzip.decompress(payload)
-        except OSError as exc:
+            # stream with a REAL bound: read at most cap+1 bytes so a
+            # decompression bomb cannot materialize multi-GB buffers
+            # before the check fires (ADVICE r5)
+            with gzip.GzipFile(fileobj=io.BytesIO(payload)) as gz:
+                payload = gz.read(cap + 1)
+        except (OSError, EOFError) as exc:
             raise ValueError(f"corrupt gzip payload: {exc}") from exc
-        if len(payload) > 512 * 1024 * 1024:
+        if len(payload) > cap:
             raise ValueError("gzip payload expands beyond 512 MB cap")
 
     img = None

@@ -361,8 +361,11 @@ def _apply_predictor_inverse(img: np.ndarray, modes: np.ndarray,
                 L = img[y, x - 1].astype(np.int32)
                 T = img[y - 1, x].astype(np.int32)
                 TL = img[y - 1, x - 1].astype(np.int32)
+                # rightmost column: per the VP8L row-buffer wrap the
+                # TR pixel is the CURRENT row's leftmost (already
+                # reconstructed), not the row above's (ADVICE r5)
                 TR = (img[y - 1, x + 1].astype(np.int32) if x + 1 < w
-                      else img[y - 1, 0].astype(np.int32))
+                      else img[y, 0].astype(np.int32))
                 if mode == 0:
                     pred = np.array([255, 0, 0, 0], dtype=np.int32)
                 elif mode == 1:
@@ -392,8 +395,13 @@ def _apply_predictor_inverse(img: np.ndarray, modes: np.ndarray,
                 elif mode == 12:  # ClampAddSubtractFull
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:  # ClampAddSubtractHalf
+                    # C semantics truncate the /2 toward zero; Python's
+                    # floor division differs on negative odd deltas
+                    # (ADVICE r5)
                     av = avg2(L, T)
-                    pred = np.clip(av + (av - TL) // 2, 0, 255)
+                    d = av - TL
+                    pred = np.clip(av + np.sign(d) * (np.abs(d) // 2),
+                                   0, 255)
                 else:
                     raise ValueError(f"bad predictor mode {mode}")
             img[y, x] = (img[y, x].astype(np.int32) + pred) & 0xFF
@@ -566,6 +574,14 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
         bw.write(clc_lengths[_CLC_ORDER[i]], 3)
     bw.write(0, 1)                           # no max-symbol shortcut
     clc_codes = _canonical_codes(clc_lengths)
+    if len(clc_codes) == 1:
+        # single-used-symbol CLC (e.g. a perfectly uniform histogram
+        # giving every alphabet symbol the same code length): the
+        # decoder's _PrefixCode.single reads ZERO bits per length, so
+        # emitting the 1-bit canonical code per length desyncs the
+        # stream (ADVICE r5). Mirror the decoder and emit nothing —
+        # it reconstructs every length from the CLC table alone.
+        return
     for l in lengths:
         code, ln = clc_codes[l]
         # prefix codes are written MSB-of-code-first, one bit at a time

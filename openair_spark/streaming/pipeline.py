@@ -208,11 +208,19 @@ def stream_neardup_docs(docs_stream: DataFrame, watermark: str = "1 hour",
             f"b * {band_size} + {band_size - 1}), h -> concat_ws(':', "
             f"CAST(h AS STRING), array_min(transform(sh, s -> "
             f"md5(concat_ws('|', CAST(h AS STRING), s)))))))))"))
-        # sentinel band (index n_bands, key unique per doc): a doc that
-        # loses EVERY real band to collisions would otherwise have no
-        # surviving rows and silently vanish instead of being flagged
+        # sentinel band (index n_bands, key unique per ARRIVAL-CONTENT,
+        # not just per doc): a doc that loses EVERY real band to
+        # collisions would otherwise have no surviving rows and
+        # silently vanish instead of being flagged. Keying the sentinel
+        # on doc_id alone broke the count-1 arithmetic when the same
+        # doc_id was re-ingested with different text inside the
+        # watermark (re-crawl): the second arrival's sentinel dropped
+        # as a duplicate (ADVICE r5) — the md5(text) component makes it
+        # unique per (doc, content) while identical re-deliveries still
+        # dedup exactly-once as intended.
         .withColumn("bands", F.expr(
-            "concat(bands, array(concat('doc:', CAST(doc_id AS STRING))))"))
+            "concat(bands, array(concat('doc:', CAST(doc_id AS STRING), "
+            "':', md5(text))))"))
         .select("ts", "doc_id", F.posexplode("bands").alias("band", "band_sig"))
     )
     survivors = (

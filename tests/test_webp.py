@@ -347,3 +347,19 @@ def test_color_transform_inverse():
     _emit_literal_image(bw, argb.reshape(-1, 4))
     out = decode_webp(_wrap(bw.finish()))
     assert (out[:, :, :3] == img).all()
+
+
+def test_uniform_histogram_roundtrip():
+    """ADVICE r5: a perfectly uniform histogram (every byte value once
+    per channel) degenerates the code-length code to a single used
+    symbol; the encoder must mirror the decoder's zero-bit-per-length
+    read or the stream desyncs ('empty prefix code')."""
+    import numpy as np
+
+    from openair_spark.ops.webp import decode_webp, encode_webp
+
+    vals = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.stack([vals, np.rot90(vals).copy(), vals.T.copy()], axis=2)
+    out = decode_webp(encode_webp(img))
+    ref = np.dstack([img, np.full((16, 16), 255, np.uint8)])
+    assert np.array_equal(out, ref)

@@ -19,9 +19,10 @@ Usage: PYTHONPATH=. python tools/scaling_bench.py [n_pages] [n_points] [N] [repe
 
 With `append` as the 6th arg the run is recorded as an ADDITIONAL
 section at the end of BENCH_SCALING.md instead of rewriting it — used
-for the stress-test 8->32 pinned point, where the measured SMT ceiling
-(~0.73) makes raw >=0.8 unattainable for any job and the
-ceiling-normalized number is the meaningful one.
+for the stress-test 8->32 pinned point, where the SMT ceiling
+(re-measured inline each run; the recorded points span ~0.63-0.73)
+makes raw >=0.8 unattainable for any job and the ceiling-normalized
+number is the meaningful one.
 """
 
 from __future__ import annotations
