@@ -368,25 +368,36 @@ def pip_join(points: DataFrame, polygons, lat_col: str = "lat", lon_col: str = "
 
 def polygon_cells_at_res(polygons: DataFrame, res: int = 7) -> DataFrame:
     """Executor-parallel shuffle-join input: polygons(polygon_id, ring)
-    -> (cell, polygon_id, ring_json) with one row per covering cell at
-    the fixed resolution (compact_cover pinned to min=max=res yields
-    every intersecting cell). The ring travels as JSON so the shuffle
-    variant can evaluate the exact test without any driver-side or
-    broadcast ring materialization."""
+    -> (cell, polygon_id, is_full, west..north bbox, ring_json) with one
+    row per covering cell at the fixed resolution (compact_cover pinned
+    to min=max=res yields every intersecting cell). The ring travels as
+    JSON so the shuffle variant can evaluate the exact test without any
+    driver-side or broadcast ring materialization; is_full and the bbox
+    let pip_join_shuffle skip the exact test for interior cells and
+    prefilter candidates JVM-side (round 6 — the shuffle route
+    previously ray-cast every cell-sharing candidate)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["cell", "polygon_id", "is_full",
+                "west", "south", "east", "north", "ring_json"]
         for pdf in batches:
             rows = []
             for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
                 arr = np.asarray([list(p) for p in ring], dtype=np.float64)
                 rj = json.dumps(arr.tolist())
-                for cell, _is_full in compact_cover(arr, min_res=res, max_res=res):
+                w, s = float(arr[:, 0].min()), float(arr[:, 1].min())
+                e, n = float(arr[:, 0].max()), float(arr[:, 1].max())
+                for cell, is_full in compact_cover(arr, min_res=res, max_res=res):
                     rows.append({"cell": int(cell), "polygon_id": pid,
+                                 "is_full": bool(is_full),
+                                 "west": w, "south": s, "east": e, "north": n,
                                  "ring_json": rj})
-            yield pd.DataFrame(rows, columns=["cell", "polygon_id", "ring_json"])
+            yield pd.DataFrame(rows, columns=cols)
 
     return polygons.select("polygon_id", "ring").mapInPandas(
-        kernel, "cell long, polygon_id string, ring_json string")
+        kernel, "cell long, polygon_id string, is_full boolean, "
+                "west double, south double, east double, north double, "
+                "ring_json string")
 
 
 def auto_salt(polygon_cells: DataFrame, cap: int = 32) -> int:
@@ -408,58 +419,91 @@ def auto_salt(polygon_cells: DataFrame, cap: int = 32) -> int:
 def pip_join_shuffle(points: DataFrame, polygon_cells: DataFrame,
                      salt: int | None = None, lat_col: str = "lat", lon_col: str = "lon",
                      res: int = 7) -> DataFrame:
-    """Shuffle-join variant for polygon sets too big to broadcast:
-    both sides repartition on (cell, salt); the polygon side is
-    replicated across all salt values so every point salt bucket sees
-    the full candidate set for its cell. Hot cells spread over `salt`
-    reducers (explicit skew handling, north rule).
+    """Shuffle-join variant for polygon sets too big to broadcast.
 
-    polygon_cells: DataFrame(cell long, polygon_id string, ring_json string)
+    polygon_cells: DataFrame(cell long, polygon_id string, ring_json
+    string) plus, when produced by polygon_cells_at_res, is_full and
+    west/south/east/north — those enable the FULL-cell bypass and the
+    JVM bbox prefilter; the minimal 3-column schema still works.
 
-    Ring geometry must flow through the shuffle here (if the polygon
-    set fit in a broadcast, pip_join is the right operator), so rows
-    carry ring_json; a worker-global cache amortizes the JSON parse
-    across tasks since python workers are reused.
+    Round-6 plan (guide §8: decide on light rows, move heavy bytes
+    once). The round-5 shape attached ring_json to EVERY candidate row
+    of the cell join, so each ring's multi-KB JSON crossed the shuffle
+    and the Arrow boundary once per cell-sharing point — tens of GB at
+    2M points — and every candidate (even interior FULL-cell hits) paid
+    a ray cast. Now:
+
+      1. The cell equi-join carries only (cell, polygon_id, is_full,
+         bbox) — ~50 B/row; the polygon side is replicated over `salt`
+         buckets so hot cells spread across reducers (north rule).
+      2. Candidates outside the polygon bbox drop JVM-side; candidates
+         in FULL cover cells bypass the exact test entirely.
+      3. Only surviving PARTIAL candidates shuffle again — by
+         polygon_id — and meet their ring in a COGROUP, so each ring's
+         JSON crosses the network once per polygon (not per candidate)
+         and is parsed once per group.
+
+    Hit sets are identical to the broadcast route (asserted by
+    tests/test_ops.py); the exchanges under both output branches are
+    shared via Spark's exchange reuse.
 
     salt=None (default) derives the count from the cell histogram
     (auto_salt); pass an int to pin it.
     """
     if salt is None:
         salt = auto_salt(polygon_cells)
+    has_full = "is_full" in polygon_cells.columns
+    has_bbox = "west" in polygon_cells.columns
+    meta_cols = ["cell", "polygon_id"] + (["is_full"] if has_full else []) \
+        + (["west", "south", "east", "north"] if has_bbox else [])
+    cells_meta = polygon_cells.select(*meta_cols)
+    # the rings side re-reads the same input as cells_meta; rename its
+    # key so the cogroup below is not an ambiguous self-join
+    rings_tbl = polygon_cells.select(
+        F.col("polygon_id").alias("_ring_pid"), "ring_json") \
+        .dropDuplicates(["_ring_pid"])
+
     pts = points.withColumn("cell", F.expr(quadkey.sql_cell_expr(lat_col, lon_col, res)))
     pts = pts.withColumn("_salt", F.pmod(F.hash(lon_col, lat_col), F.lit(salt)))
-    replicated = polygon_cells.withColumn(
+    replicated = cells_meta.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     candidates = pts.repartition("cell", "_salt").join(
         replicated, ["cell", "_salt"], "inner"
     ).drop("_salt")
+    if has_bbox:
+        candidates = candidates.where(
+            (F.col(lon_col) >= F.col("west")) & (F.col(lon_col) <= F.col("east"))
+            & (F.col(lat_col) >= F.col("south")) & (F.col(lat_col) <= F.col("north"))
+        ).drop("west", "south", "east", "north")
 
-    out_fields = [f for f in candidates.schema.fields if f.name != "ring_json"]
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
-    names = [f.name for f in out_fields]
+    out_names = [n for n in candidates.schema.fieldNames() if n != "is_full"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in candidates.schema.fields if f.name in out_names)
 
-    def exact_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache = _WORKER_RING_CACHE
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.reset_index(drop=True)
-            keep = np.zeros(len(pdf), dtype=bool)
-            for ring_json, group in pdf.groupby("ring_json"):
-                ring = cache.get(ring_json)
-                if ring is None:
-                    if len(cache) > 50_000:
-                        cache.clear()
-                    ring = np.asarray(json.loads(ring_json), dtype=np.float64)
-                    cache[ring_json] = ring
-                keep[group.index.to_numpy()] = points_in_ring(
-                    group[lon_col].to_numpy(), group[lat_col].to_numpy(), ring)
-            yield pdf.loc[keep, names]
+    if has_full:
+        full_hits = candidates.where(F.col("is_full")).drop("is_full")
+        partial = candidates.where(~F.col("is_full")).drop("is_full")
+    else:
+        full_hits = None
+        partial = candidates
 
-    return candidates.mapInPandas(exact_kernel, schema)
+    def exact_cogroup(key, cand: pd.DataFrame, ring_pdf: pd.DataFrame
+                      ) -> pd.DataFrame:
+        if len(cand) == 0 or len(ring_pdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        ring = np.asarray(json.loads(ring_pdf["ring_json"].iloc[0]),
+                          dtype=np.float64)
+        keep = points_in_ring(cand[lon_col].to_numpy(),
+                              cand[lat_col].to_numpy(), ring)
+        return cand.loc[keep, out_names]
 
-
-# worker-global ring cache for the shuffle PIP variant (python workers
-# are reused across tasks; bounded by periodic clear)
-_WORKER_RING_CACHE: dict[str, "np.ndarray"] = {}
+    exact_hits = (
+        partial.groupBy("polygon_id")
+        .cogroup(rings_tbl.groupBy("_ring_pid"))
+        .applyInPandas(exact_cogroup, schema)
+    )
+    if full_hits is None:
+        return exact_hits
+    return full_hits.select(*out_names).unionByName(exact_hits)
