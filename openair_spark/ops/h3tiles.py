@@ -400,7 +400,11 @@ def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9,
     """features(url, airspace_idx, ring, ...) -> one row per H3 cover
     cell. Narrow Arrow map (no shuffle); default res range 5-9 is the
     north-star mandate depth. The whole Arrow batch covers in ONE
-    h3_cover_batch call (level-batched across polygons)."""
+    h3_cover_batch call (level-batched across polygons); output batches
+    assemble as Arrow arrays directly (mapInArrow) — `take` replicates
+    each polygon's url across its cover rows inside Arrow C++, where
+    the previous pandas assembly materialized one Python string object
+    per emitted row (~14.5M at sf0.1, a measurable slice of the leg)."""
     from pyspark.sql import functions as F
 
     src = (
@@ -409,36 +413,40 @@ def h3_polygon_tiles(features: DataFrame, min_res: int = 5, max_res: int = 9,
     )
     h3_tables = h3._tables()  # once on the driver; seeded into workers
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        import pyarrow as pa
+
         h3.seed_tables(h3_tables)
-        cols = [c.split()[0] for c in H3_TILES_SCHEMA.split(", ")]
-        for pdf in batches:
-            urls: list = []
-            idxs: list = []
+        names = [c.split()[0] for c in H3_TILES_SCHEMA.split(", ")]
+        for rb in batches:
+            url_col = rb.column(rb.schema.get_field_index("url"))
+            idx_col = rb.column(rb.schema.get_field_index("airspace_idx"))
+            ring_col = rb.column(rb.schema.get_field_index("ring"))
+            keep_rows: list = []
             rings: list = []
-            for url, idx, ring in zip(pdf["url"], pdf["airspace_idx"], pdf["ring"]):
+            for i, ring in enumerate(ring_col.to_pylist()):
                 if ring is None or len(ring) < 4:
                     continue
-                urls.append(url)
-                idxs.append(int(idx))
-                rings.append(np.asarray([list(p) for p in ring],
-                                        dtype=np.float64))
+                keep_rows.append(i)
+                rings.append(np.asarray(ring, dtype=np.float64))
             if not rings:
-                yield pd.DataFrame(columns=cols)
                 continue
             covers = h3_cover_batch(rings, min_res, max_res, max_cells)
-            counts = [len(c) for c in covers]
+            counts = np.asarray([len(c) for c in covers], dtype=np.int64)
             flat = np.concatenate(covers)
             if len(flat) == 0:
-                yield pd.DataFrame(columns=cols)
                 continue
-            yield pd.DataFrame({
-                "url": np.repeat(np.asarray(urls, dtype=object), counts),
-                "airspace_idx": np.repeat(
-                    np.asarray(idxs, dtype=np.int32), counts),
-                "h3_cell": flat[:, 0],
-                "h3_res": flat[:, 1].astype(np.int32),
-                "is_full": flat[:, 2].astype(bool),
-            })[cols]
+            # row i of the kept set owns counts[i] consecutive output
+            # rows: replicate the source row index and let Arrow gather
+            # the string/int columns without touching Python objects
+            src_idx = pa.array(np.repeat(
+                np.asarray(keep_rows, dtype=np.int64), counts))
+            yield pa.RecordBatch.from_arrays([
+                url_col.take(src_idx),
+                idx_col.take(src_idx).cast(pa.int32()),
+                pa.array(flat[:, 0]),
+                pa.array(flat[:, 1].astype(np.int32)),
+                pa.array(flat[:, 2].astype(bool)),
+            ], names=names)
 
-    return src.mapInPandas(kernel, H3_TILES_SCHEMA)
+    return src.mapInArrow(kernel, H3_TILES_SCHEMA)
