@@ -68,7 +68,9 @@ def main() -> None:
         pages_df_dist(spark, n_pages, seed=f"bench-{sf_name}").write.mode(
             "overwrite").parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
-    feats_path = "/tmp/spark_graft_bench/features"
+    # keyed by corpus size (unlike bench.py's fixed path) so a 10x run
+    # does not silently reuse the 8k-page feature table
+    feats_path = f"/tmp/spark_graft_bench/features_{sf_name}_{n_pages}"
     if not os.path.exists(os.path.join(feats_path, "_SUCCESS")):
         parse_features(pages).write.mode("overwrite").parquet(feats_path)
     feats = spark.read.parquet(feats_path)
