@@ -34,12 +34,15 @@ from ..index.cover import compact_cover
 from ..index.pip import RingSet, points_in_ring
 
 # Cover band for the PIP probe index. min 7 (not the tile mandate's 5):
-# every cover resolution in the index adds one exploded probe row PER
-# POINT, so coarse FULL cells of a few mega-polygons taxed every point
-# with res-5/6 probes (10M probe rows for 2M points). At min 7 the probe
-# side is 3 rows/point and the mega-polygon interior just compacts to
-# res-7 FULL cells instead (hit sets identical — the cover res band is
-# an internal knob of the candidate join, not part of the result).
+# every cover resolution the index USES adds one exploded probe row PER
+# POINT, so a few coarse res-5/6 FULL cells taxed every point with two
+# extra probe rows (10M instead of 6M for 2M points on the bench
+# corpus). At min 7 polygon interiors compact to res-7 FULL cells
+# instead — same is_full ray-cast skip — up to the per-ring cell cap;
+# measured: identical index size at the 10x corpus (401,112 vs 401,116
+# rows), small consistent win at sf0.1. Hit sets identical either way —
+# the cover res band is an internal knob of the candidate join, not
+# part of the result.
 MIN_RES = 7
 MAX_RES = 9
 
