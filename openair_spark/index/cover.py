@@ -142,6 +142,211 @@ def compact_cover(ring, min_res: int = 5, max_res: int = 9,
     return out
 
 
+# pair budget per classification chunk: the CSR expansion materializes
+# (cells x own-ring segments) temporaries; chunking bounds peak memory
+# and keeps the working set cache-sized (same rationale as
+# ops/_cover_common._PAIR_BUDGET)
+_PAIR_BUDGET = 4_000_000
+
+
+def _classify_cells_multi(cells: np.ndarray, owner: np.ndarray,
+                          rs) -> np.ndarray:
+    """Batched classify_cells: verdicts of many cells, each against ITS
+    OWN ring (`owner` indexes the RingSet `rs`). Exactly the
+    classify_cells predicate — bbox-inclusive vertex-in-cell, STRICT
+    4-edge crossing on bbox-overlapping pairs, full-ring corner ray
+    casts (RingSet.contains: the same half-open arithmetic as
+    points_in_ring, exact integer parity) — evaluated in a few large
+    vectorized passes instead of one small call per (ring, level) (the
+    per-ring path was numpy-call-overhead-bound: ~47k small calls over
+    the bench corpus)."""
+    m = len(cells)
+    verdict = np.empty(m, dtype=np.int8)
+    if m == 0:
+        return verdict
+    res = cells >> quadkey._RES_SHIFT
+    y = (cells >> quadkey._Y_SHIFT) & quadkey._MASK
+    x = cells & quadkey._MASK
+    n = (1 << res).astype(np.float64)
+    west = -180.0 + x * 360.0 / n
+    east = -180.0 + (x + 1) * 360.0 / n
+    south = -90.0 + y * 180.0 / n
+    north = -90.0 + (y + 1) * 180.0 / n
+
+    sxmin = np.minimum(rs.x1, rs.x2)
+    sxmax = np.maximum(rs.x1, rs.x2)
+    symin = np.minimum(rs.y1, rs.y2)
+    symax = np.maximum(rs.y1, rs.y2)
+
+    max_len = int(rs.lens.max()) if len(rs.lens) else 1
+    chunk = max(1024, _PAIR_BUDGET // max(1, max_len))
+
+    for s0 in range(0, m, chunk):
+        sel = slice(s0, min(m, s0 + chunk))
+        mm = sel.stop - sel.start
+        o = owner[sel]
+        w_, e_ = west[sel], east[sel]
+        s_, n_ = south[sel], north[sel]
+        # CSR (cell, own-ring segment) pairs. Segment starts double as
+        # the ring vertex set: classify_cells tests every ring point
+        # incl. the duplicated closing vertex, whose coordinates equal
+        # vertex 0 — set-equivalent for the `any` reduction.
+        cl = rs.lens[o]
+        crow = np.repeat(np.arange(mm), cl)
+        cum = np.cumsum(cl)
+        total = int(cum[-1]) if mm else 0
+        within = np.arange(total) - np.repeat(cum - cl, cl)
+        seg = np.repeat(rs.starts[o], cl) + within
+
+        pvx, pvy = rs.x1[seg], rs.y1[seg]
+        cw, ce = w_[crow], e_[crow]
+        cs, cn = s_[crow], n_[crow]
+        vert_hit = (pvx >= cw) & (pvx <= ce) & (pvy >= cs) & (pvy <= cn)
+        vert_in = np.zeros(mm, dtype=bool)
+        vert_in[crow[vert_hit]] = True
+
+        overlap = ((sxmin[seg] <= ce) & (sxmax[seg] >= cw)
+                   & (symin[seg] <= cn) & (symax[seg] >= cs))
+        ci, sj = crow[overlap], seg[overlap]
+        crossing = np.zeros(mm, dtype=bool)
+        if len(ci):
+            px1, py1 = rs.x1[sj], rs.y1[sj]
+            px2, py2 = rs.x2[sj], rs.y2[sj]
+            pdx, pdy = px2 - px1, py2 - py1
+            gw, ge = w_[ci], e_[ci]
+            gs, gn = s_[ci], n_[ci]
+            hit = np.zeros(len(ci), dtype=bool)
+            for ax, ay, bx, by in ((gw, gs, ge, gs), (ge, gs, ge, gn),
+                                   (ge, gn, gw, gn), (gw, gn, gw, gs)):
+                edx, edy = bx - ax, by - ay
+                d1 = edx * (py1 - ay) - edy * (px1 - ax)
+                d2 = edx * (py2 - ay) - edy * (px2 - ax)
+                d3 = pdx * (ay - py1) - pdy * (ax - px1)
+                d4 = pdx * (by - py1) - pdy * (bx - px1)
+                hit |= (d1 * d2 < 0) & (d3 * d4 < 0)
+            crossing[ci[hit]] = True
+        boundary = vert_in | crossing
+
+        corners_x = np.concatenate([w_, e_, e_, w_])
+        corners_y = np.concatenate([s_, s_, n_, n_])
+        inside = rs.contains(corners_x, corners_y, np.tile(o, 4))
+        n_in = inside.reshape(4, mm).sum(axis=0)
+
+        v = np.full(mm, PARTIAL, dtype=np.int8)
+        v[(~boundary) & (n_in == 4)] = FULL
+        v[(~boundary) & (n_in == 0)] = OUTSIDE
+        verdict[sel] = v
+    return verdict
+
+
+def cover_batch(rings: list, min_res: int = 5, max_res: int = 9,
+                max_cells: int = 4096) -> list:
+    """Compact quadkey covers of MANY rings with level-batched
+    classification: one _classify_cells_multi call per refinement level
+    for the whole batch instead of one classify_cells call per
+    (ring, level). Per-ring results are the same (cell, is_full) SETS
+    compact_cover produces, including the per-ring max_cells degrade
+    semantics (asserted ring-by-ring over the full bench corpus and by
+    tests/test_properties.py)."""
+    nr = len(rings)
+    if nr == 0:
+        return []
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    # CSR edge arrays shared by the crossing tests and the corner ray
+    # casts (RingSet: x1/y1 are the segment start points = ring
+    # vertices sans the duplicated closing vertex)
+    from .pip import RingSet
+    rs = RingSet({i: r for i, r in enumerate(rings)})
+
+    out_cells: list = []
+    out_owner: list = []
+    out_full: list = []
+    n_out = np.zeros(nr, dtype=np.int64)
+    done = np.zeros(nr, dtype=bool)
+
+    # seeds: bbox rectangle fill at min_res per ring (same cells as
+    # compact_cover's seed set; the corner cell_ids it adds first are
+    # subsumed by the rectangle fill)
+    seed_c: list = []
+    seed_o: list = []
+    for i, r in enumerate(rings):
+        w, s = float(r[:, 0].min()), float(r[:, 1].min())
+        e, n = float(r[:, 0].max()), float(r[:, 1].max())
+        _, x0, y0 = quadkey.decode(int(quadkey.cell_id(s, w, min_res)))
+        _, x1, y1 = quadkey.decode(int(quadkey.cell_id(n, e, min_res)))
+        xs = np.arange(int(x0), int(x1) + 1, dtype=np.int64)
+        ys = np.arange(int(y0), int(y1) + 1, dtype=np.int64)
+        cells = ((np.int64(min_res) << quadkey._RES_SHIFT)
+                 + (ys[:, None] << quadkey._Y_SHIFT) + xs[None, :]).ravel()
+        seed_c.append(np.sort(cells))
+        seed_o.append(np.full(len(cells), i, dtype=np.int64))
+    frontier = np.concatenate(seed_c)
+    fowner = np.concatenate(seed_o)
+
+    def emit(cells_arr, owner_arr, is_full) -> None:
+        nonlocal n_out
+        if len(cells_arr) == 0:
+            return
+        out_cells.append(np.asarray(cells_arr, dtype=np.int64))
+        out_owner.append(np.asarray(owner_arr, dtype=np.int64))
+        out_full.append(np.broadcast_to(
+            np.asarray(is_full, dtype=bool), (len(cells_arr),)).copy())
+        n_out += np.bincount(owner_arr, minlength=nr)
+
+    while len(frontier):
+        kinds = _classify_cells_multi(frontier, fowner, rs)
+        fcount = np.bincount(fowner, minlength=nr)
+        # per-ring cap: same trigger as compact_cover (out + WHOLE
+        # frontier incl. OUTSIDE cells), same degrade (emit non-OUTSIDE
+        # frontier as partial, stop the ring)
+        over = (~done) & ((n_out + fcount) > max_cells)
+        if bool(over.any()):
+            capped = over[fowner]
+            keep_nz = capped & (kinds != OUTSIDE)
+            emit(frontier[keep_nz], fowner[keep_nz], False)
+            done |= over
+            frontier, fowner, kinds = (frontier[~capped], fowner[~capped],
+                                       kinds[~capped])
+            if len(frontier) == 0:
+                break
+        res = (frontier >> quadkey._RES_SHIFT).astype(np.int64)
+        full = kinds == FULL
+        emit(frontier[full], fowner[full], True)
+        at_leaf = (kinds == PARTIAL) & (res >= max_res)
+        emit(frontier[at_leaf], fowner[at_leaf], False)
+        refine = (kinds == PARTIAL) & (res < max_res)
+        rc, ro = frontier[refine], fowner[refine]
+        if len(rc) == 0:
+            break
+        # 4 children via bit math (mirrors quadkey.children)
+        r_ = rc >> quadkey._RES_SHIFT
+        y_ = (rc >> quadkey._Y_SHIFT) & quadkey._MASK
+        x_ = rc & quadkey._MASK
+        cr = ((r_ + 1) << quadkey._RES_SHIFT)
+        kids = np.empty(4 * len(rc), dtype=np.int64)
+        kowner = np.repeat(ro, 4)
+        base_y = 2 * y_
+        base_x = 2 * x_
+        kids[0::4] = cr + (base_y << quadkey._Y_SHIFT) + base_x
+        kids[1::4] = cr + (base_y << quadkey._Y_SHIFT) + base_x + 1
+        kids[2::4] = cr + ((base_y + 1) << quadkey._Y_SHIFT) + base_x
+        kids[3::4] = cr + ((base_y + 1) << quadkey._Y_SHIFT) + base_x + 1
+        frontier, fowner = kids, kowner
+
+    if not out_cells:
+        return [[] for _ in range(nr)]
+    cells = np.concatenate(out_cells)
+    owner = np.concatenate(out_owner)
+    fulls = np.concatenate(out_full)
+    order = np.argsort(owner, kind="stable")
+    cells, fulls = cells[order], fulls[order]
+    counts = np.bincount(owner, minlength=nr)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return [list(zip(cells[offs[i]:offs[i + 1]].tolist(),
+                     fulls[offs[i]:offs[i + 1]].tolist()))
+            for i in range(nr)]
+
+
 def cover_cells_at_res(ring, res: int, max_cells: int = 4096) -> list[int]:
     """Flat (non-compact) cover: all res-`res` cells touching the ring."""
     return sorted(

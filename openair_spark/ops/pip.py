@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index import quadkey
-from ..index.cover import compact_cover
+from ..index.cover import compact_cover, cover_batch
 from ..index.pip import RingSet, points_in_ring
 
 # Cover band for the PIP probe index. min 7 (not the tile mandate's 5):
@@ -129,11 +129,12 @@ def _polygon_setup(polygons: DataFrame, min_res: int, max_res: int) -> DataFrame
         cols = [c.split()[0] for c in _SETUP_SCHEMA.split(", ")]
         for pdf in batches:
             frames = []
-            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
-                arr = np.asarray([list(p) for p in ring], dtype=np.float64)
+            arrs = [np.asarray([list(p) for p in ring], dtype=np.float64)
+                    for ring in pdf["ring"]]
+            covers = cover_batch(arrs, min_res=min_res, max_res=max_res)
+            for pid, arr, cover in zip(pdf["polygon_id"], arrs, covers):
                 w, s = float(arr[:, 0].min()), float(arr[:, 1].min())
                 e, n = float(arr[:, 0].max()), float(arr[:, 1].max())
-                cover = compact_cover(arr, min_res=min_res, max_res=max_res)
                 ne = len(arr) - 1
                 frames.append(pd.DataFrame({
                     "polygon_id": pid,
@@ -202,11 +203,13 @@ def polygon_cell_index(polygons: DataFrame, min_res: int = MIN_RES,
         cols = [c.split()[0] for c in CELL_INDEX_SCHEMA.split(", ")]
         for pdf in batches:
             rows = []
-            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
-                arr = np.asarray([list(p) for p in ring], dtype=np.float64)
+            arrs = [np.asarray([list(p) for p in ring], dtype=np.float64)
+                    for ring in pdf["ring"]]
+            covers = cover_batch(arrs, min_res=min_res, max_res=max_res)
+            for pid, arr, cover in zip(pdf["polygon_id"], arrs, covers):
                 w, s = float(arr[:, 0].min()), float(arr[:, 1].min())
                 e, n = float(arr[:, 0].max()), float(arr[:, 1].max())
-                for cell, is_full in compact_cover(arr, min_res=min_res, max_res=max_res):
+                for cell, is_full in cover:
                     rows.append({
                         "cell": int(cell), "polygon_id": pid,
                         "is_full": bool(is_full),
@@ -385,12 +388,14 @@ def polygon_cells_at_res(polygons: DataFrame, res: int = 7) -> DataFrame:
                 "west", "south", "east", "north", "ring_json"]
         for pdf in batches:
             rows = []
-            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
-                arr = np.asarray([list(p) for p in ring], dtype=np.float64)
+            arrs = [np.asarray([list(p) for p in ring], dtype=np.float64)
+                    for ring in pdf["ring"]]
+            covers = cover_batch(arrs, min_res=res, max_res=res)
+            for pid, arr, cover in zip(pdf["polygon_id"], arrs, covers):
                 rj = json.dumps(arr.tolist())
                 w, s = float(arr[:, 0].min()), float(arr[:, 1].min())
                 e, n = float(arr[:, 0].max()), float(arr[:, 1].max())
-                for cell, is_full in compact_cover(arr, min_res=res, max_res=res):
+                for cell, is_full in cover:
                     rows.append({"cell": int(cell), "polygon_id": pid,
                                  "is_full": bool(is_full),
                                  "west": w, "south": s, "east": e, "north": n,

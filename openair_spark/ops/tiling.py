@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..index import h3, quadkey, s2
-from ..index.cover import compact_cover
+from ..index.cover import compact_cover, cover_batch
 
 TILES_SCHEMA = (
     "url string, airspace_idx int, cell long, res int, is_full boolean, "
@@ -51,15 +51,22 @@ def _tile_kernel(batches: Iterator[pd.DataFrame], min_res: int, max_res: int,
         h3.seed_tables(h3_tables)
     cols = [c.split()[0] for c in TILES_SCHEMA.split(", ")]
     for pdf in batches:
+        keep: list = []
+        rings: list = []
+        for url, idx, ring in zip(pdf["url"], pdf["airspace_idx"], pdf["ring"]):
+            if ring is None or len(ring) < 4:
+                continue
+            keep.append((url, int(idx)))
+            rings.append(np.asarray([list(p) for p in ring], dtype=np.float64))
+        # whole-batch covers in ONE level-batched call (round 6; the
+        # per-ring compact_cover loop was numpy-call-overhead-bound)
+        covers = cover_batch(rings, min_res=min_res, max_res=max_res)
         urls: list = []
         idxs: list = []
         cells: list = []
         fulls: list = []
-        for url, idx, ring in zip(pdf["url"], pdf["airspace_idx"], pdf["ring"]):
-            if ring is None or len(ring) < 4:
-                continue
-            arr = np.asarray([list(p) for p in ring], dtype=np.float64)
-            for cell, is_full in compact_cover(arr, min_res=min_res, max_res=max_res):
+        for (url, idx), cov in zip(keep, covers):
+            for cell, is_full in cov:
                 urls.append(url)
                 idxs.append(int(idx))
                 cells.append(int(cell))
