@@ -97,8 +97,10 @@ def _classify_multi(bnds: np.ndarray, owner: np.ndarray, rb: _RingBatch,
         hy2 = np.roll(hy1, -1, axis=1)
         cxmin, cxmax = hx1.min(axis=1), hx1.max(axis=1)
         cymin, cymax = hy1.min(axis=1), hy1.max(axis=1)
-        # CSR expansion: every (cell, own-ring segment) pair
-        crow, seg = expand_pairs(o, rs)
+        # x-strip candidate pairs: exact superset of the dense
+        # (cell, own-ring segment) expansion's surviving pairs at
+        # ~10% of its size (see _cover_common.RingBatch)
+        crow, seg = rb.candidate_pairs(o, cxmin, cxmax)
         # vertex-in-cell first (ring vertices = segment start points):
         # even-odd crossing number of the vertex vs the cell polygon
         vx, vy = rs.x1[seg], rs.y1[seg]
@@ -130,11 +132,12 @@ def _classify_multi(bnds: np.ndarray, owner: np.ndarray, rb: _RingBatch,
 
 # rings per kernel group: amortizes the fixed numpy-call overhead
 # (~9 ms/cover when looped ring-at-a-time) while keeping each level's
-# working set cache-sized — one giant group regressed 2x on DRAM
-# bandwidth + large-temp page faults; measured sweep on the bench
-# corpus: 8 rings/group is the plateau (23.4s vs 28.8s per-ring vs 58s
-# one-group, single-thread, identical 1.98M cells)
-_RING_GROUP = 8
+# working set cache-sized. The round-5 plateau was 8 (one giant group
+# regressed 2x on pair-temp DRAM traffic); with the round-6 x-strip
+# candidate index the pair temporaries are ~10x smaller and the sweep
+# moves the plateau to 16-32 (18.8s vs 20.4s at 8 on an 1,800-ring
+# subset, identical 2,773,266 cells).
+_RING_GROUP = 32
 
 
 def h3_cover_batch(rings: list, min_res: int = 5, max_res: int = 9,

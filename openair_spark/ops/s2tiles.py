@@ -42,8 +42,11 @@ OUTSIDE, PARTIAL, FULL = 0, 1, 2
 _CURVATURE_DILATION = 0.05
 
 # rings per kernel group — same cache-vs-amortization tradeoff as the
-# H3 cover (see ops/h3tiles._RING_GROUP)
-_RING_GROUP = 8
+# H3 cover (see ops/h3tiles._RING_GROUP). S2 covers emit far fewer
+# cells per ring, so call overhead dominated at 8; with the x-strip
+# candidate index the sweep favors much larger groups (2.9s -> 1.4s on
+# an 1,800-ring subset at 128, identical cells).
+_RING_GROUP = 128
 
 
 class _S2RingBatch(RingBatch):
@@ -132,8 +135,9 @@ def _classify_level_multi(cells: np.ndarray, owner: np.ndarray, level: int,
         hy2 = np.roll(hy1, -1, axis=1)
         cxmin, cxmax = hx1.min(axis=1), hx1.max(axis=1)
         cymin, cymax = hy1.min(axis=1), hy1.max(axis=1)
-        # CSR expansion to (cell, own-ring segment) pairs, bbox-pruned
-        crow, seg = expand_pairs(o, rs)
+        # x-strip candidate pairs (exact superset of the bbox-pruned
+        # dense expansion; see _cover_common.RingBatch)
+        crow, seg = rb.candidate_pairs(o, cxmin, cxmax)
         keep = ((cxmin[crow] <= rb.sxmax[seg]) & (cxmax[crow] >= rb.sxmin[seg])
                 & (cymin[crow] <= rb.symax[seg]) & (cymax[crow] >= rb.symin[seg]))
         crossing = proper_crossings(hx1, hy1, hx2, hy2,
